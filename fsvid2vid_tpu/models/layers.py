@@ -1,0 +1,314 @@
+"""Core network layers: spectral-norm conv/dense, norm factory, SPADE blocks.
+
+TPU-native re-design of models/networks/architecture.py and normalization.py:
+  * `SNConv` / `SNDense` replace torch spectral_norm wrappers; power-iteration
+    vectors live in a 'spectral' flax collection (explicit functional state).
+  * `SyncBatchNorm` replaces both apex SyncBatchNorm (normalization.py:15) and
+    the vendored threaded sync_batchnorm: under pjit/GSPMD a plain batch mean
+    over the sharded batch axis IS the cross-replica mean — XLA inserts the
+    collectives — so synchronized statistics come for free on the ICI mesh.
+  * `Spade` fuses norm + multi-map gamma/beta modulation (normalization.py:18-52),
+    supporting externally generated per-sample weights via `batch_conv`.
+  * `SpadeConv2d` / `SpadeResnetBlock` mirror architecture.py:57-108 including
+    the adaptive (generated-weight) conv path.
+
+Weight init matches the reference ('xavier' = xavier_normal with gain 0.02,
+base_network.py:96-99; BN affine init normal(1, 0.02)).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fsvid2vid_tpu.ops.batch_conv import batch_conv
+from fsvid2vid_tpu.ops.image_ops import leaky_relu, resize_nearest, avg_pool
+from fsvid2vid_tpu.ops.spectral_norm import (
+    spectral_normalize, conv_kernel_matrix, dense_kernel_matrix)
+
+Dtype = Any
+
+
+def xavier_normal_init(gain: float = 0.02):
+    """torch init.xavier_normal_(w, gain): std = gain * sqrt(2/(fan_in+fan_out))."""
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 4:  # HWIO
+            rf = shape[0] * shape[1]
+            fan_in, fan_out = shape[2] * rf, shape[3] * rf
+        else:  # (din, dout)
+            fan_in, fan_out = shape[0], shape[1]
+        std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+class SNConv(nn.Module):
+    """Conv2d with optional spectral normalization (torch sn() semantics)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Optional[int] = None  # None => k // 2 (torch default in reference)
+    use_bias: bool = True
+    use_sn: bool = True
+    kernel_init: Callable = xavier_normal_init()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (k, k, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+
+        if self.use_sn:
+            mat = conv_kernel_matrix(kernel)
+            u = self.variable("spectral", "u",
+                              lambda k_: jax.random.normal(k_, (mat.shape[0],)),
+                              self.make_rng("params") if self.is_initializing() else None)
+            v = self.variable("spectral", "v",
+                              lambda k_: jax.random.normal(k_, (mat.shape[1],)),
+                              self.make_rng("params") if self.is_initializing() else None)
+            sigma, nu, nv = spectral_normalize(mat, u.value, v.value, update=train)
+            if train and not self.is_initializing():
+                u.value, v.value = nu, nv
+            kernel = kernel / sigma.astype(kernel.dtype)
+
+        pad = k // 2 if self.padding is None else self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class SNDense(nn.Module):
+    """Linear with optional spectral normalization."""
+    features: int
+    use_bias: bool = True
+    use_sn: bool = True
+    kernel_init: Callable = xavier_normal_init()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        din = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (din, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+        if self.use_sn:
+            mat = dense_kernel_matrix(kernel)
+            u = self.variable("spectral", "u",
+                              lambda k_: jax.random.normal(k_, (mat.shape[0],)),
+                              self.make_rng("params") if self.is_initializing() else None)
+            v = self.variable("spectral", "v",
+                              lambda k_: jax.random.normal(k_, (mat.shape[1],)),
+                              self.make_rng("params") if self.is_initializing() else None)
+            sigma, nu, nv = spectral_normalize(mat, u.value, v.value, update=train)
+            if train and not self.is_initializing():
+                u.value, v.value = nu, nv
+            kernel = kernel / sigma.astype(kernel.dtype)
+        y = (x.astype(self.dtype) @ kernel.astype(self.dtype))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class SyncBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics are global under a sharded batch.
+
+    Train mode: mean/var over (B, H, W) of the *global* (GSPMD-sharded) batch —
+    equivalent to apex SyncBatchNorm on NCCL.  Eval: running averages.
+    Running stats follow torch momentum 0.1 convention.
+    """
+    features: int
+    affine: bool = True
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda *_: jnp.zeros(self.features), None)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda *_: jnp.ones(self.features), None)
+        if train:
+            x32 = x.astype(jnp.float32)
+            mean = x32.mean((0, 1, 2))
+            var = x32.var((0, 1, 2))
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale",
+                               lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s),
+                               (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + b
+        return y.astype(x.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d; reference uses eps=0.1 (normalization.py:35,82)."""
+    features: int
+    affine: bool = True
+    eps: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean((1, 2), keepdims=True)
+        var = x32.var((1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + b
+        return y.astype(x.dtype)
+
+
+def make_plain_norm(norm: str, features: int, name: Optional[str] = None):
+    """Non-SPADE norm factory: 'syncbatch'|'batch' -> SyncBatchNorm,
+    'instance' -> InstanceNorm, ''/'none' -> None (generalNorm /
+    get_nonspade_norm_layer, architecture.py:40-55, normalization.py:54-88)."""
+    if "instance" in norm:
+        return InstanceNorm(features, affine=True, name=name)
+    if "batch" in norm:  # covers syncbatch + batch: identical under GSPMD
+        return SyncBatchNorm(features, affine=True, name=name)
+    return None
+
+
+class Spade(nn.Module):
+    """SPADE modulation: param-free norm then per-map gamma/beta from conv(map).
+
+    `hidden_ncs` lists the channel count of each modulation map
+    (normalization.py:22-30); map 0's gamma/beta convs may instead come from
+    externally generated per-sample weights (weights arg, batch_conv path
+    normalization.py:47-50 — the generated biases are unused there, matching
+    the reference exactly).
+    """
+    norm_nc: int
+    hidden_ncs: Sequence[int]
+    norm: str = "batch"            # param-free inner norm selector
+    ks: int = 1
+    params_free: bool = False      # map 0 uses generated weights
+
+    @nn.compact
+    def __call__(self, x, maps, weights=None, train: bool = False):
+        if not isinstance(maps, (list, tuple)):
+            maps = [maps]
+        if "batch" in self.norm:
+            normed = SyncBatchNorm(self.norm_nc, affine=False, name="norm")(x, train)
+        else:
+            normed = InstanceNorm(self.norm_nc, affine=False, eps=0.1, name="norm")(x, train)
+        out = normed
+        pad = self.ks // 2
+        for i, m in enumerate(maps):
+            if m is None:
+                continue
+            m = resize_nearest(m, x.shape[1:3])
+            if weights is not None and i == 0:
+                # generated per-sample conv weights, no bias (normalization.py:47-50)
+                gamma = batch_conv(m, weights[0])
+                beta = batch_conv(m, weights[1])
+            else:
+                s = str(i + 1) if i > 0 else ""
+                gamma = nn.Conv(self.norm_nc, (self.ks, self.ks),
+                                padding=pad, kernel_init=xavier_normal_init(),
+                                name=f"mlp_gamma{s}")(m)
+                beta = nn.Conv(self.norm_nc, (self.ks, self.ks),
+                               padding=pad, kernel_init=xavier_normal_init(),
+                               name=f"mlp_beta{s}")(m)
+            out = out * (1 + gamma) + beta
+        return out
+
+
+class SpadeConv2d(nn.Module):
+    """sn-conv -> norm -> leaky(0.2) (architecture.py:57-69)."""
+    features: int
+    norm: str = "batch"
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_sn = "spectral" in self.norm
+        x = SNConv(self.features, self.kernel_size, self.stride,
+                   use_sn=use_sn, name="conv")(x, train)
+        norm = make_plain_norm(self.norm, self.features, name="bn")
+        if norm is not None:
+            x = norm(x, train)
+        return leaky_relu(x)
+
+
+class SpadeResnetBlock(nn.Module):
+    """Two-conv residual block with SPADE (or plain) norms; each conv/norm can
+    run with externally generated per-sample weights (architecture.py:71-108)."""
+    fin: int
+    fout: int
+    norm: str = "batch"
+    hidden_ncs: Sequence[int] = (0,)
+    conv_ks: int = 3
+    spade_ks: int = 1
+    stride: int = 1
+    conv_params_free: bool = False
+    norm_params_free: bool = False
+
+    @nn.compact
+    def __call__(self, x, label=None, conv_weights=None, norm_weights=None,
+                 train: bool = False):
+        fhidden = min(self.fin, self.fout)
+        learned_shortcut = self.fin != self.fout
+        use_spade = "spade" in self.norm
+        use_sn = "spectral" in self.norm and not self.conv_params_free
+        cw = conv_weights if conv_weights is not None else [None] * 3
+        nw = norm_weights if norm_weights is not None else [None] * 3
+
+        def make_norm(features, name):
+            if use_spade:
+                return lambda h, w_: Spade(
+                    features, self.hidden_ncs, self.norm, self.spade_ks,
+                    params_free=self.norm_params_free, name=name,
+                )(h, label, weights=w_, train=train)
+            plain = make_plain_norm(self.norm, features, name=name)
+            if plain is None:
+                return lambda h, w_: h
+            return lambda h, w_: plain(h, train)
+
+        def make_conv(features, ks, name, stride=1, use_bias=True):
+            if self.conv_params_free:
+                return lambda h, w_: batch_conv(h, w_[0], w_[1], stride=stride)
+            conv = SNConv(features, ks, stride, use_sn=use_sn,
+                          use_bias=use_bias, name=name)
+            return lambda h, w_: conv(h, train)
+
+        bn_0 = make_norm(self.fin, "bn_0")
+        bn_1 = make_norm(fhidden, "bn_1")
+        conv_0 = make_conv(fhidden, self.conv_ks, "conv_0", stride=self.stride)
+        conv_1 = make_conv(self.fout, self.conv_ks, "conv_1")
+
+        if learned_shortcut:
+            bn_s = make_norm(self.fin, "bn_s")
+            conv_s = make_conv(self.fout, 1, "conv_s", stride=self.stride,
+                               use_bias=False)
+            x_s = conv_s(bn_s(x, nw[2]), cw[2])
+        elif self.stride != 1:
+            x_s = avg_pool(x, 3, 2, 1)
+        else:
+            x_s = x
+
+        dx = conv_0(leaky_relu(bn_0(x, nw[0])), cw[0])
+        dx = conv_1(leaky_relu(bn_1(dx, nw[1])), cw[1])
+        return x_s + dx

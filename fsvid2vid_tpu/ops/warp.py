@@ -1,0 +1,82 @@
+"""Bilinear flow warping (backward warping / resampling).
+
+TPU-native equivalent of the reference's two warp implementations:
+  * the generator-side `resample` built on `F.grid_sample(mode='bilinear',
+    padding_mode='border', align_corners=True)` with flow given in pixels and
+    normalized by (W-1)/2, (H-1)/2 at the callsite
+    (models/networks/base_network.py:28-37), and
+  * the FlowNet2 `Resample2d` CUDA kernel (resample2d_kernel.cu:16-62), which
+    computes out(x,y) = bilinear(image, (x + u(x,y), y + v(x,y))) with border
+    clamping, including gradients w.r.t. both image and flow.
+
+Both reduce to the same pixel-space semantics, implemented here once:
+  X = clip(x + u, 0, W-1), Y = clip(y + v, 0, H-1)
+  out = (1-fx)(1-fy) I[Y0,X0] + fx(1-fy) I[Y0,X1] + (1-fx)fy I[Y1,X0] + fx fy I[Y1,X1]
+
+The bilinear weights are differentiable w.r.t. the flow and the four gathers are
+differentiable w.r.t. the image (scatter-add in the VJP), so plain JAX autodiff
+reproduces the CUDA kernels' analytic gradients.  Layout is NHWC (TPU-friendly);
+the gather is expressed as a flat take_along_axis so XLA lowers it to an
+efficient dynamic-gather.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp `image` by `flow`.
+
+    Args:
+      image: (B, H, W, C) source image.
+      flow:  (B, H, W, 2) pixel-space flow; flow[..., 0] = horizontal (x / width)
+             displacement u, flow[..., 1] = vertical v — matching the channel
+             order of the reference (base_network.py:31: channel 0 divided by
+             the width scale).
+
+    Returns:
+      (B, H, W, C) image sampled at (x + u, y + v) with border clamping.
+    """
+    b, h, w, c = image.shape
+    dtype = image.dtype
+    fl = flow.astype(jnp.float32)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
+    x = jnp.clip(xs + fl[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(ys + fl[..., 1], 0.0, h - 1.0)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = image.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(b, h * w, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    fx = fx[..., None].astype(dtype)
+    fy = fy[..., None].astype(dtype)
+    one = jnp.asarray(1.0, dtype)
+    out = ((one - fy) * ((one - fx) * v00 + fx * v01)
+           + fy * ((one - fx) * v10 + fx * v11))
+    return out
+
+
+def flow_warp_nchw(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """NCHW wrapper with flow shaped (B, 2, H, W) — the reference's layout."""
+    out = flow_warp(jnp.transpose(image, (0, 2, 3, 1)),
+                    jnp.transpose(flow, (0, 2, 3, 1)))
+    return jnp.transpose(out, (0, 3, 1, 2))
