@@ -2,13 +2,18 @@
 
 The reference applies generator-produced convolution weights with a Python loop
 over the batch — one cuDNN call per sample (models/networks/base_network.py:56-71),
-the single worst GPU-utilization sin in the codebase (SURVEY §3.1).  On TPU the
-same computation is a single grouped convolution: `jax.vmap` over the batch of
-`lax.conv_general_dilated` lowers to one conv with feature_group_count=B, which
-XLA tiles onto the MXU.
+the single worst GPU-utilization sin in the codebase (SURVEY §3.1).
 
-Weight layout here is HWIO per sample: (B, kh, kw, Cin, Cout); bias (B, Cout).
-Padding follows the reference: k // 2 on each side (SAME for odd k).
+Here the same computation is a batched matmul: extract k x k patches once and
+contract each sample's patch matrix with its own (k*k*Cin, Cout) weight matrix
+via einsum.  This maps directly onto the MXU, and — unlike a vmapped grouped
+conv, which folds the batch into feature groups — keeps the batch dimension a
+plain batch dimension, so GSPMD shards it over the data axis with no
+repartitioning.  For the dominant k == 1 case (spade_ks = embed_ks = 1 in every
+shipped config) it reduces to a single einsum with zero patch overhead.
+
+Weight layout HWIO per sample: (B, kh, kw, Cin, Cout); bias (B, Cout).
+Padding follows the reference: k // 2 on each side.
 """
 from __future__ import annotations
 
@@ -16,6 +21,22 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _extract_patches(x: jnp.ndarray, k: int, stride: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H', W', k*k*C) patches, padding k//2.
+
+    Channel ordering of the patch axis is (c, ky, kx) — matching
+    conv_general_dilated_patches — so weights must be flattened the same way.
+    """
+    b = x.shape[0]
+    pad = k // 2
+    patches = jax.lax.conv_general_dilated_patches(
+        jnp.transpose(x, (0, 3, 1, 2)),
+        filter_shape=(k, k), window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)))
+    # (B, C*k*k, H', W') with (c, ky, kx) channel-major ordering
+    return jnp.transpose(patches, (0, 2, 3, 1))
 
 
 def batch_conv(x: jnp.ndarray, weight: jnp.ndarray,
@@ -26,23 +47,22 @@ def batch_conv(x: jnp.ndarray, weight: jnp.ndarray,
       x: (B, H, W, Cin).
       weight: (B, kh, kw, Cin, Cout) per-sample kernels.
       bias: optional (B, Cout).
-      stride: spatial stride (reference batch_conv stride>=1 path).
+      stride: spatial stride.
 
     Returns:
       (B, H', W', Cout).
     """
-    k = weight.shape[1]
-    pad = k // 2
-
-    def one(xi, wi):
-        return jax.lax.conv_general_dilated(
-            xi[None], wi, window_strides=(stride, stride),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )[0]
-
-    y = jax.vmap(one)(x, weight).astype(x.dtype)
+    b, kh, kw, cin, cout = weight.shape
+    k = kh
+    if k == 1 and stride == 1:
+        y = jnp.einsum("bhwi,bio->bhwo", x, weight[:, 0, 0],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        patches = _extract_patches(x, k, stride)
+        # weight -> (B, Cin*k*k, Cout) in (c, ky, kx) patch order
+        w = jnp.transpose(weight, (0, 3, 1, 2, 4)).reshape(b, cin * k * k, cout)
+        y = jnp.einsum("bhwp,bpo->bhwo", patches, w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:
         y = y + bias[:, None, None, :].astype(y.dtype)
     return y
