@@ -1,0 +1,154 @@
+"""Benchmark: 512px few-shot face synthesis frames/sec/chip.
+
+Measures the flagship inference path (BASELINE.json config: face edge->
+talking-head synthesis with adaptive SPADE + warp_ref + spade_combine) as a
+whole-clip `lax.scan` program in bfloat16 on one chip.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md), so the
+baseline is the PyTorch reference generator measured on this host's CPU with
+identical shapes (apex shimmed out), cached in `BENCH_TORCH_BASELINE.json`.
+vs_baseline = our_fps / torch_cpu_fps.  The north-star comparison point
+(>=5x V100 torch) is tracked separately in BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_TORCH_BASELINE.json")
+
+SIZE = 512
+FRAMES = 30
+WARMUP_FRAMES = 8
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fsvid2vid_tpu.config import face_config
+    from fsvid2vid_tpu.training.state import build_models
+    from fsvid2vid_tpu.inference.pipeline import run_sequence
+
+    cfg = face_config(batch_size=1, is_train=False, fine_size=SIZE,
+                      load_size=SIZE)
+    models = build_models(cfg)
+    netG = models.netG
+    h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+
+    rng = np.random.RandomState(0)
+    label0 = jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32))
+    ref_l = jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32))
+    ref_i = jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32))
+    variables = netG.init(jax.random.PRNGKey(0), label0, ref_l, ref_i,
+                          None, None, warp_prev=False, train=False)
+    params_G = {"G": variables["params"]}
+    aux_G = {"G": {k: v for k, v in variables.items() if k != "params"}}
+
+    labels = jnp.asarray(rng.randn(FRAMES, 1, h, w, cl).astype(np.float32))
+
+    # warmup/compile
+    out = run_sequence(cfg, models, params_G, aux_G, labels[:WARMUP_FRAMES],
+                       ref_l, ref_i)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    out = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return FRAMES / dt
+
+
+def bench_torch_reference():
+    """PyTorch reference generator forward at the same shapes, CPU.
+
+    Loads the reference code read-only with apex shimmed; measures
+    frames/sec of FewShotGenerator.forward (the inference hot path)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_fps"]
+
+    import types
+    import numpy as np
+    import torch
+
+    # shim apex: SPADE imports apex.parallel.SyncBatchNorm (normalization.py:15)
+    apex = types.ModuleType("apex")
+    apex_parallel = types.ModuleType("apex.parallel")
+    apex_parallel.SyncBatchNorm = torch.nn.BatchNorm2d
+    apex.parallel = apex_parallel
+    sys.modules.setdefault("apex", apex)
+    sys.modules.setdefault("apex.parallel", apex_parallel)
+    # shim torchvision (only reached if VGG_Activations is instantiated)
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    def _no_vgg(*a, **k):
+        raise RuntimeError("torchvision unavailable in bench")
+    tv_models.vgg19 = _no_vgg
+    tv.models = tv_models
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.models", tv_models)
+    sys.path.insert(0, "/root/reference")
+
+    # options system pulls in torchvision; build the opt namespace directly
+    # (flags: scripts/face/test_256.sh + fewshot_face defaults + base_options)
+    opt = types.SimpleNamespace(
+        dataset_mode="fewshot_face", label_nc=0, input_nc=1, output_nc=3,
+        aspect_ratio=1.0, fineSize=SIZE, loadSize=SIZE,
+        netG="fewshot", n_downsample_G=5, ngf=32,
+        norm_G="spectralspadesyncbatch", conv_ks=3, embed_ks=1, spade_ks=1,
+        netS="encoderdecoder", use_label_ref="mul", res_for_ref=False,
+        adaptive_conv=False, adaptive_spade=True, no_adaptive_embed=False,
+        n_adaptive_layers=4, n_fc_layers=2, n_frames_G=2,
+        n_downsample_F=3, nff=32, n_blocks_F=6, norm_F="spectralsyncbatch",
+        flow_multiplier=20, spade_combine=True, n_sc_layers=2, sc_arch="unet",
+        add_raw_output_loss=False, sep_flow_prev=False, no_sep_warp_embed=False,
+        n_shot=1, n_downsample_A=2, warp_ref=True, lambda_kld=0.0,
+        for_face=False, isTrain=False, init_type="xavier", init_variance=0.02,
+        gpu_ids=[], batchSize=1)
+    torch.cuda.is_available = lambda: False
+    torch.Tensor.cuda = lambda self, *a, **k: self  # reference hardcodes .cuda()
+
+    from models.networks.generator import FewShotGenerator  # noqa: E402
+    netG = FewShotGenerator(opt).eval()
+
+    h = w = SIZE
+    label = torch.randn(1, 1, h, w)
+    ref_l = torch.randn(1, 1, 1, h, w)
+    ref_i = torch.tanh(torch.randn(1, 1, 3, h, w))
+    n_frames = 3
+    with torch.no_grad():
+        netG(label, ref_l, ref_i, [None, None], t=0)  # warmup + weight cache
+        t0 = time.perf_counter()
+        for t in range(1, n_frames + 1):
+            netG(label, ref_l, ref_i, [None, None], t=t)
+        dt = time.perf_counter() - t0
+    fps = n_frames / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_fps": fps, "size": SIZE,
+                   "note": "reference FewShotGenerator.forward, CPU, "
+                           "batch 1, weights cached after t=0"}, f)
+    return fps
+
+
+def main():
+    fps = bench_ours()
+    try:
+        base_fps = bench_torch_reference()
+        vs = fps / base_fps if base_fps > 0 else 0.0
+    except Exception as e:  # noqa: BLE001 — baseline is best-effort
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        vs = 0.0
+    print(json.dumps({
+        "metric": f"face synthesis {SIZE}px frames/sec/chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -161,7 +161,7 @@ def _flow_loss_single(cfg: Config, flow, warped, tgt_image, flow_gt, conf_gt,
                       fg_mask):
     """loss_collector.py:156-162."""
     z = jnp.float32(0.0)
-    if flow is None:
+    if flow is None or not cfg.is_train:  # gated at inference (lc.py:158)
         return z, z
     loss_flow = z
     if flow_gt is not None and cfg.n_shot == 1:
@@ -216,6 +216,8 @@ def compute_mask_losses(cfg: Config, flow_mask, fake_image, warped_image,
                         tgt_label, tgt_image, fake_raw_image, fg_mask,
                         ref_fg_mask, body_mask_diff):
     """loss_collector.py:164-188."""
+    if not cfg.is_train:  # gated at inference (loss_collector.py:192)
+        return jnp.float32(0.0)
     loss = _mask_loss_single(flow_mask[0], warped_image[0], tgt_image)
     loss += _mask_loss_single(flow_mask[1], warped_image[1], tgt_image)
 
