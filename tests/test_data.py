@@ -47,8 +47,8 @@ class TestInterpPoints:
 
     def test_too_curved_returns_none(self):
         # no transpose (x steps >= y steps) but quadratic coefficient > 1
-        x = np.array([0.0, 1.5, 3.0])
-        y = np.array([1.5, 0.0, 1.5])  # a = 4/3 > 1
+        x = np.array([0.0, 0.5, 1.0])
+        y = np.array([0.5, 0.0, 0.5])  # a = 2 > 1
         assert interp_points(x, y) == (None, None)
 
 
