@@ -43,8 +43,12 @@ def bench_ours():
     label0 = jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32))
     ref_l = jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32))
     ref_i = jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32))
+    n_prev = cfg.n_frames_G - 1
+    prev_l = jnp.zeros((1, h, w, cl * n_prev), jnp.float32)
+    prev_i = jnp.zeros((1, h, w, 3 * n_prev), jnp.float32)
     variables = netG.init(jax.random.PRNGKey(0), label0, ref_l, ref_i,
-                          None, None, warp_prev=False, train=False)
+                          prev_l, prev_i, warp_prev=cfg.n_frames_G > 1,
+                          train=False)
     params_G = {"G": variables["params"]}
     aux_G = {"G": {k: v for k, v in variables.items() if k != "params"}}
 

@@ -1,0 +1,157 @@
+"""FlowNet2 port tests: parameter-count parity against the documented torch
+counts, deconv semantics vs torch, importer mapping, and the teacher service."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from fsvid2vid_tpu.models.flownet.flownet2 import (
+    FlowNet2, FlowNetC, FlowNetS, FlowNetSD, FlowNetFusion,
+    TorchConvTranspose)
+from fsvid2vid_tpu.utils.torch_port import (
+    convtranspose_to_hwio, conv_to_hwio)
+
+
+def n_params(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+class TestParamCounts:
+    """Documented counts: FlowNetC.py:11, FlowNetS.py:13, FlowNetSD.py:9,
+    FlowNetFusion.py:9, models.py:17."""
+
+    def test_flownetc(self):
+        m = FlowNetC()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 64, 64, 3)))
+        assert n_params(v["params"]) == 39_175_298
+
+    def test_flownets(self):
+        # FlowNetS.py:13 documents 38,676,504 but the actual torch module has
+        # 38,695,322 (verified against the reference class directly); the
+        # FlowNet2 total below (162,518,834) is only consistent with the
+        # actual count.
+        m = FlowNetS()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 12)))
+        assert n_params(v["params"]) == 38_695_322
+
+    def test_flownetsd(self):
+        m = FlowNetSD()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)))
+        assert n_params(v["params"]) == 45_371_666
+
+    def test_flownetfusion(self):
+        m = FlowNetFusion()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 11)))
+        assert n_params(v["params"]) == 581_226
+
+    def test_flownet2_total(self):
+        m = FlowNet2()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 64, 64, 3)))
+        assert n_params(v["params"]) == 162_518_834
+
+
+class TestTorchConvTranspose:
+    @pytest.mark.parametrize("use_bias", [True, False])
+    def test_matches_torch(self, rng, use_bias):
+        cin, cout = 3, 5
+        x = rng.randn(2, 8, 8, cin).astype(np.float32)
+        m = TorchConvTranspose(cout, use_bias=use_bias)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        wt = rng.randn(cin, cout, 4, 4).astype(np.float32)
+        bias = rng.randn(cout).astype(np.float32)
+        params = {"kernel": jnp.asarray(convtranspose_to_hwio(wt))}
+        tconv = torch.nn.ConvTranspose2d(cin, cout, 4, 2, 1, bias=use_bias)
+        with torch.no_grad():
+            tconv.weight.copy_(torch.from_numpy(wt))
+            if use_bias:
+                tconv.bias.copy_(torch.from_numpy(bias))
+                params["bias"] = jnp.asarray(bias)
+        ref = tconv(torch.from_numpy(x).permute(0, 3, 1, 2))
+        out = m.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.detach().permute(0, 2, 3, 1).numpy(),
+            atol=1e-4)
+        assert out.shape == (2, 16, 16, cout)
+
+
+class TestFlowNet2Forward:
+    def test_shapes_and_finite(self, rng):
+        m = FlowNet2()
+        im1 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        im2 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), im1, im2)
+        flow = m.apply(v, im1, im2)
+        assert flow.shape == (1, 64, 64, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+
+class TestImporterMapping:
+    def test_fusion_import_from_synthetic_ckpt(self, rng, tmp_path):
+        """Build a synthetic torch state_dict matching FlowNetFusion's layout
+        and verify every flax leaf is filled with the converted tensor."""
+        from fsvid2vid_tpu.utils.torch_port import import_flownet2
+
+        m = FlowNetFusion(name="flownetfusion")
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 11)))
+        params = {"flownetfusion": jax.device_get(v["params"])}
+
+        sd = {}
+
+        def walk(tree, mods):
+            for k, val in tree.items():
+                if isinstance(val, dict):
+                    walk(val, mods + [k])
+                else:
+                    tm = ["0" if m_ in ("conv", "deconv") else m_
+                          for m_ in mods]
+                    key = ".".join(tm) + (".weight" if k == "kernel" else ".bias")
+                    arr = np.asarray(val)
+                    if k == "kernel" and arr.ndim == 4:
+                        transposed = any(m_ == "deconv"
+                                         or m_.startswith("upsampled_flow")
+                                         for m_ in mods)
+                        if transposed:
+                            # inverse of convtranspose_to_hwio
+                            arr = np.transpose(arr, (2, 3, 0, 1))[:, :, ::-1, ::-1]
+                        else:
+                            arr = np.transpose(arr, (3, 2, 0, 1))
+                    sd[key] = rng.randn(*arr.shape).astype(np.float32)
+
+        walk(params, [])
+        path = str(tmp_path / "fake_ckpt.pth.tar")
+        torch.save({"state_dict": {k: torch.from_numpy(v_)
+                                   for k, v_ in sd.items()}}, path)
+        imported = import_flownet2(params, path)
+        # spot-check a conv and a deconv leaf
+        got = imported["flownetfusion"]["conv0"]["conv"]["kernel"]
+        want = conv_to_hwio(sd["flownetfusion.conv0.0.weight"])
+        np.testing.assert_allclose(got, want)
+        got_d = imported["flownetfusion"]["deconv1"]["deconv"]["kernel"]
+        want_d = convtranspose_to_hwio(sd["flownetfusion.deconv1.0.weight"])
+        np.testing.assert_allclose(got_d, want_d)
+
+
+class TestFlowTeacher:
+    def test_teacher_outputs(self, rng):
+        from fsvid2vid_tpu.config import face_config
+        from fsvid2vid_tpu.training.flow_teacher import FlowTeacher
+
+        cfg = face_config(fine_size=64, load_size=64)
+        teacher = FlowTeacher(cfg)
+        seq = {
+            "tgt_label": jnp.asarray(rng.rand(1, 2, 64, 64, 1).astype(np.float32)),
+            "tgt_image": jnp.asarray(rng.rand(1, 2, 64, 64, 3).astype(np.float32)),
+            "ref_labels": jnp.asarray(rng.rand(1, 1, 64, 64, 1).astype(np.float32)),
+            "ref_images": jnp.asarray(rng.rand(1, 1, 64, 64, 3).astype(np.float32)),
+        }
+        flow_gt, conf_gt = teacher(cfg, seq, epoch=cfg.niter_single + 1)
+        assert flow_gt[0].shape == (1, 2, 64, 64, 2)  # ref flow (warp_ref)
+        assert flow_gt[1].shape == (1, 2, 64, 64, 2)  # prev flow
+        assert conf_gt[0].shape == (1, 2, 64, 64, 1)
+        # before temporal phase: no prev flow
+        flow_gt2, _ = teacher(cfg, seq, epoch=1)
+        assert flow_gt2[1] is None and flow_gt2[0] is not None
