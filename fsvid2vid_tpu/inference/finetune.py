@@ -35,6 +35,15 @@ def finetune_mask(params_G) -> Dict:
         lambda p, _: any(n in _path_str(p) for n in FINETUNE_NAMES), params_G)
 
 
+def masked_tx(inner, params_G):
+    """Apply `inner` to the finetune subset and zero updates elsewhere.
+    (optax.masked alone passes raw gradients through for masked-out leaves.)"""
+    labels = jax.tree.map(lambda m: "train" if m else "freeze",
+                          finetune_mask(params_G))
+    return optax.multi_transform(
+        {"train": inner, "freeze": optax.set_to_zero()}, labels)
+
+
 def random_roll_np(arrays, rng: np.random.RandomState):
     """Reference random_roll (util/util.py:157-168): circular shift by up to
     h//16 / w//16 in either direction + random horizontal flip.  NHWC."""
@@ -64,8 +73,7 @@ def finetune(cfg: Config, models: ModelBundle, state: TrainState,
 
     # fresh optimizers (the reference re-creates them: vid2vid_model.py:210-216)
     opt_G_tx, opt_D_tx = make_optimizers(ft_cfg)
-    mask = finetune_mask(state.params_G)
-    opt_G_tx = optax.masked(opt_G_tx, mask)
+    opt_G_tx = masked_tx(opt_G_tx, state.params_G)
     state = state.replace(opt_G=opt_G_tx.init(state.params_G),
                           opt_D=opt_D_tx.init(state.params_D))
 
@@ -118,7 +126,7 @@ def _finetune_step(cfg: Config, models: ModelBundle, state: TrainState,
                                   batch, prevs, flags, rngs)
     (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
         state.params_G)
-    masked_opt = optax.masked(opt_G_tx, finetune_mask(state.params_G))
+    masked_opt = masked_tx(opt_G_tx, state.params_G)
     g_updates, new_opt_G = masked_opt.update(g_grads, state.opt_G,
                                              state.params_G)
     new_params_G = optax.apply_updates(state.params_G, g_updates)

@@ -66,7 +66,12 @@ class Trainer:
         self.cfg = cfg
         self.models = models or build_models(cfg)
         self.log = log_fn
-        self.mesh = make_mesh() if jax.device_count() > 1 else None
+        # DP mesh over the largest device count that divides the local batch
+        n_dev = jax.device_count()
+        local_batch = max(1, cfg.batch_size // max(jax.process_count(), 1))
+        while n_dev > 1 and local_batch % n_dev != 0:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.epoch_iter = 0

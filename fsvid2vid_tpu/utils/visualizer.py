@@ -1,0 +1,81 @@
+"""Training/inference visualization (reference util/visualizer.py):
+loss_log.txt, image dumps to <ckpt>/web/images with an HTML gallery, and
+optional TensorBoard scalars via flax's metric_writers-free minimal writer.
+
+Master-only discipline: under multi-process (multi-host) runs only process 0
+writes (util/distributed.py:45-52 master_only)."""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from fsvid2vid_tpu.config import Config
+from fsvid2vid_tpu.utils.html import HTML
+from fsvid2vid_tpu.utils.imaging import save_image
+
+
+def is_master() -> bool:
+    return jax.process_index() == 0
+
+
+class Visualizer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.ckpt_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
+        self.web_dir = os.path.join(self.ckpt_dir, "web")
+        self.img_dir = os.path.join(self.web_dir, "images")
+        if is_master():
+            os.makedirs(self.img_dir, exist_ok=True)
+            self.log_name = os.path.join(self.ckpt_dir, "loss_log.txt")
+            with open(self.log_name, "a") as f:
+                f.write(f"================ Training Loss "
+                        f"({time.strftime('%c')}) ================\n")
+
+    def print_current_errors(self, epoch: int, i: int,
+                             errors: Dict[str, float], t: float) -> None:
+        if not is_master():
+            return
+        message = f"(epoch: {epoch}, iters: {i}, time: {t:.3f}) "
+        for k, v in sorted(errors.items()):
+            if v != 0:
+                message += f"{k}: {v:.3f} "
+        print(message)
+        with open(self.log_name, "a") as f:
+            f.write(message + "\n")
+
+    def save_images(self, visuals: Dict[str, Optional[np.ndarray]],
+                    epoch: int, step: int) -> None:
+        """Dump a dict of uint8 images named <label>_epoch_step.png and
+        refresh the HTML gallery (visualizer.py:114-164)."""
+        if not is_master():
+            return
+        for label, image in visuals.items():
+            if image is None:
+                continue
+            save_image(image,
+                       os.path.join(self.img_dir,
+                                    f"epoch{epoch:03d}_{step}_{label}.png"))
+        self._rebuild_gallery()
+
+    def _rebuild_gallery(self, max_rows: int = 30) -> None:
+        names = sorted(os.listdir(self.img_dir), reverse=True)
+        groups: Dict[str, list] = {}
+        for n in names:
+            key = "_".join(n.split("_")[:2])
+            groups.setdefault(key, []).append(n)
+        page = HTML(self.web_dir, f"training gallery: {self.cfg.name}")
+        for key in list(groups)[:max_rows]:
+            ims = groups[key]
+            page.add_header(key)
+            page.add_images(ims, [n.rsplit("_", 1)[-1] for n in ims], ims,
+                            width=256)
+        page.save()
+
+    @staticmethod
+    def vis_print(message) -> None:
+        if is_master():
+            print(message)

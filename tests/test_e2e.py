@@ -1,0 +1,159 @@
+"""End-to-end smoke tests: tiny train loop through the Trainer (both
+curriculum phases + checkpoint save/resume) and the sequential inference
+pipeline with reference caching, on the synthetic face fixture."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from fsvid2vid_tpu.config import face_config
+from fsvid2vid_tpu.data.loader import SequenceLoader
+from fsvid2vid_tpu.inference.pipeline import InferencePipeline, run_sequence
+from fsvid2vid_tpu.training import checkpoint as ckpt_lib
+from fsvid2vid_tpu.training.state import build_models
+from fsvid2vid_tpu.training.trainer import Trainer, n_frames_total_for_epoch
+
+
+@pytest.fixture
+def face_root(tmp_path):
+    rng = np.random.RandomState(0)
+    for seq in ["0001"]:
+        kdir = tmp_path / "train_keypoints" / seq
+        idir = tmp_path / "train_images" / seq
+        kdir.mkdir(parents=True)
+        idir.mkdir(parents=True)
+        for f in range(8):
+            t = np.linspace(0, np.pi, 17)
+            kp = np.zeros((68, 2))
+            kp[:17, 0] = 60 + 40 * np.cos(t)
+            kp[:17, 1] = 55 + 45 * np.sin(t)
+            kp[17:] = rng.uniform(40, 80, (51, 2))
+            np.savetxt(kdir / f"{f:05d}.txt", kp, delimiter=",")
+            arr = rng.randint(0, 255, (128, 128, 3), np.uint8)
+            Image.fromarray(arr).save(idir / f"{f:05d}.jpg")
+    return str(tmp_path)
+
+
+def tiny_cfg(face_root, tmp_path, **kw):
+    base = dict(dataroot=face_root, checkpoints_dir=str(tmp_path / "ckpt"),
+                name="smoke", ngf=4, nff=4, ndf=4, fine_size=32, load_size=32,
+                n_blocks_F=2, n_downsample_G=3, n_adaptive_layers=2,
+                batch_size=2, no_vgg_loss=True, num_workers=0,
+                niter=2, niter_decay=0, niter_single=1, niter_step=1,
+                save_epoch_freq=1, print_freq=0)
+    base.update(kw)
+    return face_config(**base)
+
+
+class TestCurriculum:
+    def test_n_frames_schedule(self):
+        cfg = face_config(niter_single=10, niter_step=2, n_frames_total=2)
+        assert n_frames_total_for_epoch(cfg, 5) == 1
+        assert n_frames_total_for_epoch(cfg, 11) == 2
+        assert n_frames_total_for_epoch(cfg, 13) == 4
+        assert n_frames_total_for_epoch(cfg, 17) == 16
+        assert n_frames_total_for_epoch(cfg, 40) == 30  # cap
+
+
+class TestTrainLoop:
+    def test_two_epoch_train_and_resume(self, face_root, tmp_path):
+        cfg = tiny_cfg(face_root, tmp_path)
+        loader = SequenceLoader(cfg, steps_per_epoch=2)
+        trainer = Trainer(cfg, log_fn=lambda *_: None)
+        loader.set_epoch_frames(1)
+        sample = next(iter(loader.epoch(0)))
+        batch0 = {k: (v[:, 0] if k.startswith("tgt") else v)
+                  for k, v in sample.items() if k != "paths"}
+        trainer.setup(batch0)
+
+        def make_iter(epoch, nft):
+            loader.set_epoch_frames(nft)
+            return loader.epoch(epoch)
+
+        # epoch 1: single-frame phase; epoch 2: temporal phase (niter_single=1)
+        m1 = trainer.train_epoch(1, make_iter(1, n_frames_total_for_epoch(cfg, 1)))
+        m2 = trainer.train_epoch(2, make_iter(2, n_frames_total_for_epoch(cfg, 2)))
+        for metrics in (m1, m2):
+            for k, v in metrics.items():
+                assert np.isfinite(v), k
+
+        # checkpoint written; resume restores state + cursor
+        assert os.path.exists(os.path.join(ckpt_lib.ckpt_dir(cfg), "latest"))
+        trainer2 = Trainer(cfg, log_fn=lambda *_: None)
+        trainer2.setup(batch0)
+        assert trainer2.start_epoch == 2
+        l0 = jax.tree.leaves(trainer.state.params_G)[0]
+        l1 = jax.tree.leaves(trainer2.state.params_G)[0]
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1))
+        # optimizer moments restored too (improvement over the reference)
+        m0 = jax.tree.leaves(trainer.state.opt_G)[1]
+        m1_ = jax.tree.leaves(trainer2.state.opt_G)[1]
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1_))
+
+
+class TestInference:
+    def test_pipeline_and_scan_agree(self, face_root, tmp_path, rng):
+        cfg = tiny_cfg(face_root, tmp_path, is_train=False, batch_size=1)
+        models = build_models(cfg)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        netG = models.netG
+        prev_l = jnp.zeros((1, h, w, cl))
+        prev_i = jnp.zeros((1, h, w, 3))
+        label = jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32))
+        ref_l = jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32))
+        ref_i = jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32))
+        variables = netG.init(jax.random.PRNGKey(0), label, ref_l, ref_i,
+                              prev_l, prev_i, warp_prev=True, train=False)
+        params_G = {"G": variables["params"]}
+        aux_G = {"G": {k: v for k, v in variables.items() if k != "params"}}
+
+        labels = jnp.asarray(rng.randn(4, 1, h, w, cl).astype(np.float32))
+
+        # per-frame stateful pipeline
+        pipe = InferencePipeline(cfg, models, params_G, aux_G)
+        pipe.reset(ref_l, ref_i, labels[0])
+        frames = [pipe.step(labels[t])["fake_image"] for t in range(4)]
+
+        # whole-clip scan
+        clip = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
+        assert clip.shape == (4, 1, h, w, 3)
+        for t in range(4):
+            np.testing.assert_allclose(np.asarray(frames[t]),
+                                       np.asarray(clip[t]), atol=2e-4)
+
+    def test_finetune_changes_filtered_params_only(self, face_root, tmp_path,
+                                                   rng):
+        from fsvid2vid_tpu.inference.finetune import finetune, finetune_mask
+        from fsvid2vid_tpu.training.state import init_state
+
+        cfg = tiny_cfg(face_root, tmp_path, is_train=False, batch_size=1,
+                       finetune=True, finetune_iters=2)
+        models = build_models(cfg)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        batch = {
+            "tgt_label": jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32)),
+            "tgt_image": jnp.asarray(np.tanh(rng.randn(1, h, w, 3)).astype(np.float32)),
+            "ref_labels": jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32)),
+            "ref_images": jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32)),
+        }
+        state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
+        mask = finetune_mask(state.params_G)
+        new_state = finetune(cfg, models, state, batch["ref_labels"],
+                             batch["ref_images"], seed=0)
+
+        flat_old = jax.tree_util.tree_leaves_with_path(state.params_G)
+        flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params_G))
+        flat_mask = dict(jax.tree_util.tree_leaves_with_path(mask))
+        changed_any = False
+        for path, old in flat_old:
+            new = flat_new[path]
+            if flat_mask[path]:
+                changed_any = changed_any or not np.allclose(old, new)
+            else:
+                np.testing.assert_allclose(np.asarray(old), np.asarray(new),
+                                           err_msg=str(path))
+        assert changed_any
