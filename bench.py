@@ -32,6 +32,7 @@ def bench_ours():
     from fsvid2vid_tpu.config import face_config
     from fsvid2vid_tpu.training.state import build_models
     from fsvid2vid_tpu.inference.pipeline import run_sequence
+    from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
 
     cfg = face_config(batch_size=1, is_train=False, fine_size=SIZE,
                       load_size=SIZE)
@@ -49,10 +50,12 @@ def bench_ours():
     variables = netG.init(jax.random.PRNGKey(0), label0, ref_l, ref_i,
                           prev_l, prev_i, warp_prev=cfg.n_frames_G > 1,
                           train=False)
+    variables = bf16_params(variables)
     params_G = {"G": variables["params"]}
     aux_G = {"G": {k: v for k, v in variables.items() if k != "params"}}
 
     labels = jnp.asarray(rng.randn(FRAMES, 1, h, w, cl).astype(np.float32))
+    labels, ref_l, ref_i = cast_floating((labels, ref_l, ref_i), jnp.bfloat16)
 
     # warmup/compile
     out = run_sequence(cfg, models, params_G, aux_G, labels[:WARMUP_FRAMES],

@@ -124,14 +124,54 @@ def set_color(im: np.ndarray, yy: np.ndarray, xx: np.ndarray, color):
         im[yy, xx] = color[0]
 
 
+def _load_native():
+    """Native C++ stamping (native/rasterizer.cc) via ctypes; None if the
+    shared library is absent (Python fallback is used)."""
+    import ctypes
+    import os
+    so = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                      "librasterizer.so")
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(os.path.abspath(so))
+    lib.draw_edge.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.draw_edge.restype = None
+    return lib
+
+
+_NATIVE = _load_native()
+
+
 def draw_edge(im: np.ndarray, x, y, bw: int = 1, color=(255, 255, 255),
-              draw_end_points: bool = False):
-    """Thick polyline stamping (keypoint2img.py:279-296)."""
+              draw_end_points: bool = False, native: bool = True):
+    """Thick polyline stamping (keypoint2img.py:279-296).
+
+    Dispatches to the C++ data-plane library when built (identical
+    semantics, including the overlap-averaging quirk); falls back to numpy."""
     if x is None or np.size(x) == 0:
         return
     h, w = im.shape[:2]
     x = np.asarray(x)
     y = np.asarray(y)
+
+    if native and _NATIVE is not None and im.flags["C_CONTIGUOUS"]:
+        import ctypes
+        xs = np.ascontiguousarray(x, np.int32)
+        ys = np.ascontiguousarray(y, np.int32)
+        col = np.ascontiguousarray(list(color)[:3], np.uint8)
+        channels = 3 if im.ndim == 3 else 1
+        _NATIVE.draw_edge(
+            im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, channels,
+            xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(xs), bw, col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(draw_end_points))
+        return
+
     for i in range(-bw, bw):
         for j in range(-bw, bw):
             yy = np.clip(y + i, 0, h - 1)

@@ -54,7 +54,6 @@ class SNConv(nn.Module):
     use_bias: bool = True
     use_sn: bool = True
     kernel_init: Callable = xavier_normal_init()
-    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,11 +78,11 @@ class SNConv(nn.Module):
 
         pad = k // 2 if self.padding is None else self.padding
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
+            x, kernel.astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(self.dtype)
+            preferred_element_type=jnp.float32).astype(x.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -95,7 +94,6 @@ class SNDense(nn.Module):
     use_bias: bool = True
     use_sn: bool = True
     kernel_init: Callable = xavier_normal_init()
-    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -115,7 +113,8 @@ class SNDense(nn.Module):
             if train and not self.is_initializing():
                 u.value, v.value = nu, nv
             kernel = kernel / sigma.astype(kernel.dtype)
-        y = (x.astype(self.dtype) @ kernel.astype(self.dtype))
+        y = jnp.dot(x, kernel.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

@@ -253,3 +253,47 @@ class TestDatasets:
         b1 = next(iter(l1.epoch(0)))
         assert b0["tgt_image"].shape[0] == 2  # half the global batch each
         assert not np.allclose(b0["tgt_image"], b1["tgt_image"])
+
+
+class TestNativeRasterizer:
+    def test_native_matches_python(self, rng):
+        from fsvid2vid_tpu.data import rasterize as R
+        if R._NATIVE is None:
+            pytest.skip("native library not built")
+        x = np.arange(5, 55)
+        y = (16 + 8 * np.sin(np.linspace(0, 3, 50))).astype(int)
+        for channels, color in [(3, (153, 0, 51)), (1, (255,))]:
+            shape = (64, 64, 3) if channels == 3 else (64, 64)
+            im_py = np.zeros(shape, np.uint8)
+            im_c = np.zeros(shape, np.uint8)
+            R.draw_edge(im_py, x, y, bw=2, color=color, draw_end_points=True,
+                        native=False)
+            R.draw_edge(im_c, x, y, bw=2, color=color, draw_end_points=True,
+                        native=True)
+            np.testing.assert_array_equal(im_py, im_c)
+        # overlapping second edge exercises the averaging path
+        im_py = np.zeros((64, 64, 3), np.uint8)
+        im_c = np.zeros((64, 64, 3), np.uint8)
+        for im, nat in [(im_py, False), (im_c, True)]:
+            R.draw_edge(im, x, y, bw=2, color=(153, 0, 51), native=nat)
+            R.draw_edge(im, x, y + 1, bw=2, color=(0, 102, 153), native=nat)
+        np.testing.assert_array_equal(im_py, im_c)
+
+    def test_native_speedup(self, rng):
+        from fsvid2vid_tpu.data import rasterize as R
+        if R._NATIVE is None:
+            pytest.skip("native library not built")
+        import time
+        x = np.arange(0, 200)
+        y = (100 + 60 * np.sin(np.linspace(0, 3, 200))).astype(int)
+
+        def run(native):
+            im = np.zeros((256, 256, 3), np.uint8)
+            t0 = time.perf_counter()
+            for _ in range(50):
+                R.draw_edge(im, x, y, bw=3, color=(153, 0, 51),
+                            draw_end_points=True, native=native)
+            return time.perf_counter() - t0
+        t_py = run(False)
+        t_c = run(True)
+        assert t_c < t_py  # native data plane is faster
