@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fsvid2vid_tpu.ops.cost_volume import cost_volume
+from fsvid2vid_tpu.ops.cost_volume import correlation
 from fsvid2vid_tpu.ops.image_ops import channel_norm, upsample_nearest
 from fsvid2vid_tpu.ops.warp import flow_warp
 
@@ -111,7 +111,7 @@ class FlowNetC(nn.Module):
         a3 = conv3(conv2(conv1(x1)))
         b3 = conv3(conv2(conv1(x2)))
 
-        corr = _leaky(cost_volume(a3, b3, max_displacement=20, stride=2))
+        corr = _leaky(correlation(a3, b3, max_displacement=20, stride=2))
         redir = Conv(32, 1, name="conv_redir")(a3)
         x = jnp.concatenate([redir, corr], axis=-1)  # 473ch
 
