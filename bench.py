@@ -57,9 +57,10 @@ def bench_ours():
     labels = jnp.asarray(rng.randn(FRAMES, 1, h, w, cl).astype(np.float32))
     labels, ref_l, ref_i = cast_floating((labels, ref_l, ref_i), jnp.bfloat16)
 
-    # warmup/compile
-    out = run_sequence(cfg, models, params_G, aux_G, labels[:WARMUP_FRAMES],
-                       ref_l, ref_i)
+    # warmup/compile with the SAME shape as the timed call (a different
+    # frame count would retrace the scan and the timing would include the
+    # compile)
+    out = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
     out.block_until_ready()
 
     t0 = time.perf_counter()

@@ -111,3 +111,128 @@ def _copy_tree(tree):
     if isinstance(tree, dict):
         return {k: _copy_tree(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+# ---------------------------------------------------------------------------
+# FewShotGenerator checkpoint import (reference {epoch}_net_G.pth layout,
+# base_model.py:219-227) -> flax variables {'params','spectral','batch_stats'}
+# ---------------------------------------------------------------------------
+
+def linear_to_io(w: np.ndarray) -> np.ndarray:
+    return w.T
+
+
+def _generator_torch_key(mods, leaf, cfg) -> str:
+    """Map a flax module path inside FewShotGenerator to the torch key prefix.
+
+    Handles: fc weight-gen stacks (Sequential indices 2k / 2*n_fc_layers),
+    LabelEmbedder Sequential wrappers (conv at .0 for first/down, .1 for up),
+    FlowGenerator's flat Sequentials (down_flow/res_flow/up_flow indexing),
+    and the plain attribute-named modules which match 1:1.
+    """
+    mods = list(mods)
+    out = []
+    i = 0
+    while i < len(mods):
+        m = mods[i]
+        # --- weight-generation fc stacks: fc_<kind>_<layer>_l<k> | _out ---
+        suffix_tok = m.rsplit("_", 1)[-1]
+        if m.startswith(("fc_spade_", "fc_conv_")) and (
+                (suffix_tok.startswith("l") and suffix_tok[1:].isdigit())
+                or suffix_tok == "out"):
+            base, suffix = m.rsplit("_", 1)
+            if suffix == "out":
+                idx = 2 * cfg.n_fc_layers
+            else:
+                idx = 2 * int(suffix[1:])
+            out.append(f"{base}.{idx}")
+            i += 1
+            continue
+        # --- embedders: Sequential wrapper indices ---
+        if m in ("label_embedding", "img_ref_embedding", "img_prev_embedding"):
+            out.append(m)
+            nxt = mods[i + 1]
+            if nxt == "conv_first" or nxt.startswith("down_"):
+                out.append(f"{nxt}.0")
+            elif nxt.startswith("up_"):
+                out.append(f"{nxt}.1")  # [Upsample, Conv, act]
+            else:
+                out.append(nxt)
+            i += 2
+            continue
+        # --- flow generators: flat Sequential layouts ---
+        if m in ("flow_network_ref", "flow_network_temp"):
+            out.append(m)
+            nxt = mods[i + 1]
+            nf = cfg.n_downsample_F
+            if nxt == "down_first_conv":
+                out.append("down_flow.0.0")
+            elif nxt == "down_first_norm":
+                out.append("down_flow.0.1")
+            elif nxt.startswith("down_") and nxt.endswith("_conv"):
+                j = int(nxt.split("_")[1])
+                out.append(f"down_flow.{2 * (j + 1)}.0")
+            elif nxt.startswith("down_") and nxt.endswith("_norm"):
+                j = int(nxt.split("_")[1])
+                out.append(f"down_flow.{2 * (j + 1)}.1")
+            elif nxt.startswith("res_"):
+                j = int(nxt.split("_")[1])
+                out.append(f"res_flow.{j}")
+            elif nxt.startswith("up_") and nxt.endswith("_conv"):
+                j = int(nxt.split("_")[1])
+                out.append(f"up_flow.{3 * (nf - 1 - j) + 1}.0")
+            elif nxt.startswith("up_") and nxt.endswith("_norm"):
+                j = int(nxt.split("_")[1])
+                out.append(f"up_flow.{3 * (nf - 1 - j) + 1}.1")
+            elif nxt == "conv_flow":
+                out.append("conv_flow.0")
+            elif nxt == "conv_mask":
+                out.append("conv_mask.0")
+            else:
+                out.append(nxt)
+            i += 2
+            continue
+        if m == "fc_kld":
+            out.append("fc")  # generator.py:144 names it 'fc'
+            i += 1
+            continue
+        out.append(m)
+        i += 1
+    return ".".join(out)
+
+
+_LEAF_MAP = {
+    "bias": (".bias",), "scale": (".weight",),
+    "kernel": (".weight_orig", ".weight"),
+    "mean": (".running_mean",), "var": (".running_var",),
+    "u": (".weight_u",), "v": (".weight_v",),
+}
+
+
+def import_fewshot_generator(variables: Dict, ckpt_path_or_sd, cfg) -> Dict:
+    """Import a torch FewShotGenerator state_dict into flax variables
+    (all three collections).  Unmatched flax leaves raise; unused torch keys
+    are tolerated (e.g. num_batches_tracked)."""
+    if isinstance(ckpt_path_or_sd, str):
+        sd = _load_torch_state_dict(ckpt_path_or_sd)
+    else:
+        sd = {k: np.asarray(v) for k, v in ckpt_path_or_sd.items()}
+    out = _copy_tree(variables)
+    for coll in ("params", "spectral", "batch_stats"):
+        if coll not in out:
+            continue
+        for path in list(_tree_paths(out[coll])):
+            mods, leaf = path[:-1], path[-1]
+            prefix = _generator_torch_key(mods, leaf, cfg)
+            for suffix in _LEAF_MAP[leaf]:
+                key = prefix + suffix
+                if key in sd:
+                    break
+            else:
+                raise KeyError(f"no torch key for flax {coll}/"
+                               f"{'/'.join(path)} (tried prefix {prefix})")
+            w = sd[key]
+            if leaf == "kernel":
+                w = conv_to_hwio(w) if w.ndim == 4 else linear_to_io(w)
+            _assign(out[coll], path, w)
+    return out
