@@ -27,6 +27,8 @@ WARMUP_FRAMES = 8
 
 def bench_ours():
     import jax
+    from fsvid2vid_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     from fsvid2vid_tpu.config import face_config
@@ -54,19 +56,23 @@ def bench_ours():
     params_G = {"G": variables["params"]}
     aux_G = {"G": {k: v for k, v in variables.items() if k != "params"}}
 
-    labels = jnp.asarray(rng.randn(FRAMES, 1, h, w, cl).astype(np.float32))
-    labels, ref_l, ref_i = cast_floating((labels, ref_l, ref_i), jnp.bfloat16)
+    # distinct label sets: the remote-TPU runtime memoizes identical
+    # executions, and block_until_ready alone does not force completion
+    # through the tunnel — a host readback of the result does.
+    labels_sets = [jnp.asarray(rng.randn(FRAMES, 1, h, w, cl).astype(np.float32))
+                   for _ in range(4)]
+    labels_sets = [cast_floating(s, jnp.bfloat16) for s in labels_sets]
+    ref_l, ref_i = cast_floating((ref_l, ref_i), jnp.bfloat16)
 
-    # warmup/compile with the SAME shape as the timed call (a different
-    # frame count would retrace the scan and the timing would include the
-    # compile)
-    out = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
-    out.block_until_ready()
+    def run(labels):
+        out = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
+        return float(jnp.sum(out.astype(jnp.float32)))  # forces completion
 
+    run(labels_sets[0])  # warmup/compile (same shape as timed calls)
     t0 = time.perf_counter()
-    out = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    for s in labels_sets[1:]:
+        run(s)
+    dt = (time.perf_counter() - t0) / (len(labels_sets) - 1)
     return FRAMES / dt
 
 

@@ -28,6 +28,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from fsvid2vid_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
     from fsvid2vid_tpu.data.loader import create_dataset
     from fsvid2vid_tpu.inference.pipeline import InferencePipeline
     from fsvid2vid_tpu.training import checkpoint as ckpt_lib

@@ -101,6 +101,8 @@ def main() -> None:
 
     import jax
     import numpy as np
+    from fsvid2vid_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
     from fsvid2vid_tpu.data.loader import SequenceLoader
     from fsvid2vid_tpu.training.trainer import Trainer
     from fsvid2vid_tpu.training.flow_teacher import FlowTeacher
