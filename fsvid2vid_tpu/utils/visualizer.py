@@ -23,17 +23,30 @@ def is_master() -> bool:
 
 
 class Visualizer:
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, tb_log: bool = False):
         self.cfg = cfg
         self.ckpt_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
         self.web_dir = os.path.join(self.ckpt_dir, "web")
         self.img_dir = os.path.join(self.web_dir, "images")
+        self.tb = None
         if is_master():
             os.makedirs(self.img_dir, exist_ok=True)
             self.log_name = os.path.join(self.ckpt_dir, "loss_log.txt")
             with open(self.log_name, "a") as f:
                 f.write(f"================ Training Loss "
                         f"({time.strftime('%c')}) ================\n")
+            if tb_log:  # reference --tf_log (visualizer.py:94-112)
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self.tb = SummaryWriter(os.path.join(self.ckpt_dir, "tb"))
+                except ImportError:
+                    print("tensorboard unavailable; scalar logging disabled")
+
+    def plot_current_errors(self, errors: Dict[str, float], step: int) -> None:
+        """Scalar curves to TensorBoard (visualizer.py:167-171)."""
+        if self.tb is not None:
+            for k, v in errors.items():
+                self.tb.add_scalar(k, float(v), step)
 
     def print_current_errors(self, epoch: int, i: int,
                              errors: Dict[str, float], t: float) -> None:

@@ -174,3 +174,41 @@ class TestFewShotGenerator:
                            mutable=["spectral", "batch_stats"])[0]
         np.testing.assert_allclose(np.asarray(fast["img_final"]),
                                    np.asarray(full["img_final"]), atol=2e-5)
+
+
+class TestAdaptiveConv:
+    def test_generator_with_adaptive_conv(self):
+        """Exercise the adaptive_conv main-branch path (generated conv
+        kernels applied via batch_conv, generator.py:276-289)."""
+        cfg = tiny_face_cfg(adaptive_conv=True)
+        model = FewShotGenerator(cfg)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        label = jnp.ones((2, h, w, cl))
+        refs_l = jnp.ones((2, 1, h, w, cl))
+        refs_i = jnp.ones((2, 1, h, w, 3))
+        vs = model.init(jax.random.PRNGKey(0), label, refs_l, refs_i,
+                        None, None, warp_prev=False, train=True)
+        out = model.apply(vs, label, refs_l, refs_i, None, None,
+                          warp_prev=False, train=False,
+                          mutable=["spectral", "batch_stats"])[0]
+        assert out["img_final"].shape == (2, 64, 64, 3)
+        assert np.isfinite(np.asarray(out["img_final"])).all()
+
+
+class TestKLD:
+    def test_vae_bottleneck(self):
+        cfg = tiny_face_cfg(lambda_kld=0.05)
+        model = FewShotGenerator(cfg)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        label = jnp.ones((2, h, w, cl))
+        refs_l = jnp.ones((2, 1, h, w, cl))
+        refs_i = jnp.ones((2, 1, h, w, 3))
+        rngs = {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)}
+        vs = model.init(rngs, label, refs_l, refs_i, None, None,
+                        warp_prev=False, train=True)
+        out = model.apply(vs, label, refs_l, refs_i, None, None,
+                          warp_prev=False, train=True,
+                          mutable=["spectral", "batch_stats"],
+                          rngs={"vae": jax.random.PRNGKey(2)})[0]
+        assert out["mu"] is not None and out["logvar"] is not None
+        assert out["mu"].shape == (2, 256)
