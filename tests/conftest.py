@@ -17,8 +17,27 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import resource
+
+# XLA's CPU compiler recurses deeply on the big fused programs in this suite;
+# with the container's default stack limit a long single-process run can
+# segfault in backend_compile_and_load.  Allow the main stack to grow.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    pass
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between test modules to bound memory over
+    the full suite (dozens of large CPU programs accumulate otherwise)."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
