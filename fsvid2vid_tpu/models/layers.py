@@ -77,12 +77,14 @@ class SNConv(nn.Module):
             kernel = kernel / sigma.astype(kernel.dtype)
 
         pad = k // 2 if self.padding is None else self.padding
+        # no explicit preferred_element_type: TPU accumulates bf16 convs in
+        # f32 inside the MXU regardless, and a widened primal output breaks
+        # the conv transpose rule under AD with bf16 inputs.
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -113,8 +115,7 @@ class SNDense(nn.Module):
             if train and not self.is_initializing():
                 u.value, v.value = nu, nv
             kernel = kernel / sigma.astype(kernel.dtype)
-        y = jnp.dot(x, kernel.astype(x.dtype),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, kernel.astype(x.dtype))
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

@@ -55,14 +55,12 @@ def batch_conv(x: jnp.ndarray, weight: jnp.ndarray,
     b, kh, kw, cin, cout = weight.shape
     k = kh
     if k == 1 and stride == 1:
-        y = jnp.einsum("bhwi,bio->bhwo", x, weight[:, 0, 0],
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.einsum("bhwi,bio->bhwo", x, weight[:, 0, 0].astype(x.dtype))
     else:
         patches = _extract_patches(x, k, stride)
         # weight -> (B, Cin*k*k, Cout) in (c, ky, kx) patch order
         w = jnp.transpose(weight, (0, 3, 1, 2, 4)).reshape(b, cin * k * k, cout)
-        y = jnp.einsum("bhwp,bpo->bhwo", patches, w,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.einsum("bhwp,bpo->bhwo", patches, w.astype(x.dtype))
     if bias is not None:
         y = y + bias[:, None, None, :].astype(y.dtype)
     return y

@@ -30,6 +30,7 @@ from fsvid2vid_tpu.models.face_refiner import refine_face_region
 from fsvid2vid_tpu.models.input_process import (
     combine_fg_mask, get_fg_mask, use_valid_labels)
 from fsvid2vid_tpu.models.generator import pick_ref
+from fsvid2vid_tpu.parallel.precision import cast_floating
 from fsvid2vid_tpu.training.state import (
     ModelBundle, TrainState, make_optimizers)
 
@@ -126,7 +127,21 @@ def generate_images(cfg: Config, models: ModelBundle, params_G, aux_G,
     """One-frame generation incl. optional face refinement
     (vid2vid_model.generate_images :130-158).
 
+    Mixed precision (replaces apex AMP): when cfg.compute_dtype is bfloat16,
+    parameters and inputs are cast to bf16 at this boundary — master params
+    stay f32, so gradients flow through the casts back to f32 leaves; norm
+    statistics and loss accumulation remain f32.
+
     Returns (outputs dict, masks dict, picked refs, new_aux_G)."""
+    if cfg.compute_dtype == "bfloat16":
+        cdt = jnp.bfloat16
+        params_G = cast_floating(params_G, cdt)
+        batch = dict(batch,
+                     tgt_label=batch["tgt_label"].astype(cdt),
+                     tgt_image=batch["tgt_image"].astype(cdt),
+                     ref_labels=batch["ref_labels"].astype(cdt),
+                     ref_images=batch["ref_images"].astype(cdt))
+        prevs = cast_floating(prevs, cdt)
     tgt_label = batch["tgt_label"]
     tgt_image = batch["tgt_image"]
     ref_labels = batch["ref_labels"]
@@ -238,6 +253,15 @@ def _g_losses(cfg: Config, models: ModelBundle, params_G, params_D, aux_G,
 
 def _d_losses(cfg: Config, models: ModelBundle, params_D, aux_D, generated,
               batch, prevs, masks, refs, flags: StepFlags):
+    if cfg.compute_dtype == "bfloat16":
+        cdt = jnp.bfloat16
+        params_D = cast_floating(params_D, cdt)
+        generated = cast_floating(generated, cdt)
+        batch = dict(batch,
+                     tgt_label=batch["tgt_label"].astype(cdt),
+                     tgt_image=batch["tgt_image"].astype(cdt))
+        refs = cast_floating(refs, cdt)
+        prevs = cast_floating(prevs, cdt)
     applies, new_aux_D = _applies_for_D(models, params_D, aux_D, train=True,
                                         collect_aux=True)
     applies["vgg"] = None

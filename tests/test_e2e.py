@@ -44,7 +44,7 @@ def tiny_cfg(face_root, tmp_path, **kw):
                 n_blocks_F=2, n_downsample_G=3, n_adaptive_layers=2,
                 batch_size=2, no_vgg_loss=True, num_workers=0,
                 niter=2, niter_decay=0, niter_single=1, niter_step=1,
-                save_epoch_freq=1, print_freq=0)
+                save_epoch_freq=1, print_freq=0, compute_dtype="float32")
     base.update(kw)
     return face_config(**base)
 

@@ -18,7 +18,8 @@ from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
 def tiny_pose_cfg(**kw):
     base = dict(ngf=4, nff=4, ndf=4, fine_size=32, load_size=32,
                 n_blocks_F=2, n_downsample_G=3, n_adaptive_layers=2,
-                batch_size=2, no_vgg_loss=True, refine_face=True)
+                batch_size=2, no_vgg_loss=True, refine_face=True,
+                compute_dtype="float32")
     base.update(kw)
     return pose_config(**base)
 

@@ -16,7 +16,7 @@ from fsvid2vid_tpu.training.step import (
 def tiny_cfg(**kw):
     base = dict(ngf=4, nff=4, ndf=4, fine_size=32, load_size=32,
                 n_blocks_F=2, n_downsample_G=3, n_adaptive_layers=2,
-                batch_size=2, no_vgg_loss=True)
+                batch_size=2, no_vgg_loss=True, compute_dtype="float32")
     base.update(kw)
     return face_config(**base)
 
@@ -142,3 +142,22 @@ class TestDataParallel:
         for k in losses_1:
             np.testing.assert_allclose(float(losses_1[k]), float(losses_8[k]),
                                        rtol=2e-3, atol=1e-5)
+
+
+class TestMixedPrecision:
+    def test_bf16_train_step(self, rng):
+        """bf16 compute policy: losses finite, f32 master params updated."""
+        cfg = tiny_cfg(compute_dtype="bfloat16")
+        models = build_models(cfg)
+        batch = make_batch(cfg, rng)
+        state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
+        prevs = init_prevs(cfg, batch)
+        new_state, _, losses = train_step(
+            cfg, models, state, batch, prevs, StepFlags(False, False),
+            jax.random.PRNGKey(1))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        leaf = jax.tree.leaves(new_state.params_G)[0]
+        assert leaf.dtype == jnp.float32  # master weights stay f32
+        assert not np.allclose(np.asarray(leaf),
+                               np.asarray(jax.tree.leaves(state.params_G)[0]))
