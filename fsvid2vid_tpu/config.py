@@ -313,5 +313,5 @@ PRESETS = {
 }
 
 
-def preset(name: str, **kw) -> Config:
-    return PRESETS[name](**kw)
+def preset(workload: str, **kw) -> Config:
+    return PRESETS[workload](**kw)

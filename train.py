@@ -80,7 +80,7 @@ def config_from_args(args, is_train: bool = True):
 
     workload = args.dataset_mode.replace("fewshot_", "")
     overrides = {k: v for k, v in vars(args).items()
-                 if v not in (None, False, "")
+                 if v is not None and v is not False and v != ""
                  and k in _config_fields()}
     overrides["is_train"] = is_train
     cfg = preset(workload, **overrides)
