@@ -36,8 +36,9 @@ class NLayerDiscriminator(nn.Module):
         use_sn = "spectral" in self.norm
         kw, padw = 4, 2  # ceil((4-1)/2) = 2 (discriminator.py:68)
         res = [x]
-        # layer 0: conv + leaky, no norm
-        h = SNConv(self.ndf, kw, self.stride, padding=padw, use_sn=use_sn,
+        # layer 0: plain conv + leaky — the reference does NOT wrap the
+        # first conv in spectral norm or a norm layer (discriminator.py:69)
+        h = SNConv(self.ndf, kw, self.stride, padding=padw, use_sn=False,
                    name="model0_conv")(x, train)
         res.append(leaky_relu(h))
         nf = self.ndf
@@ -50,7 +51,8 @@ class NLayerDiscriminator(nn.Module):
             if norm is not None:
                 h = norm(h, train)
             res.append(leaky_relu(h))
-        h = SNConv(1, kw, 1, padding=padw, use_sn=use_sn,
+        # final logit conv is also plain (discriminator.py:88)
+        h = SNConv(1, kw, 1, padding=padw, use_sn=False,
                    name=f"model{self.n_layers + 1}_conv")(res[-1], train)
         res.append(h)
         return res[1:] if self.get_interm_feat else res[-1]

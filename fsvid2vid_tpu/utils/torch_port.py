@@ -236,3 +236,48 @@ def import_fewshot_generator(variables: Dict, ckpt_path_or_sd, cfg) -> Dict:
                 w = conv_to_hwio(w) if w.ndim == 4 else linear_to_io(w)
             _assign(out[coll], path, w)
     return out
+
+
+def import_discriminator(flax_variables: Dict, ckpt_path_or_sd) -> Dict:
+    """Import a torch MultiscaleDiscriminator state_dict
+    ({epoch}_net_{D,Df,DT}.pth) into flax variables.
+
+    torch layout: discriminator_K.modelN = Sequential[conv(, norm), leaky]
+    -> flax discriminator_K/modelN_conv + modelN_norm."""
+    if isinstance(ckpt_path_or_sd, str):
+        sd = _load_torch_state_dict(ckpt_path_or_sd)
+    else:
+        sd = {k: np.asarray(v) for k, v in ckpt_path_or_sd.items()}
+    out = _copy_tree(flax_variables)
+    for coll in ("params", "spectral", "batch_stats"):
+        if coll not in out:
+            continue
+        for path in list(_tree_paths(out[coll])):
+            mods, leaf = list(path[:-1]), path[-1]
+            # torch: modelN = Sequential[Sequential[sn(conv), norm], leaky]
+            # for middle layers, Sequential[conv, leaky] for first/last
+            torch_mods = []
+            for m in mods:
+                if m.endswith("_conv"):
+                    base = ".".join(torch_mods + [m[:-5]])
+                    if any(k.startswith(base + ".0.0.") for k in sd):
+                        torch_mods.append(m[:-5] + ".0.0")
+                    else:
+                        torch_mods.append(m[:-5] + ".0")
+                elif m.endswith("_norm"):
+                    torch_mods.append(m[:-5] + ".0.1")
+                else:
+                    torch_mods.append(m)
+            prefix = ".".join(torch_mods)
+            for suffix in _LEAF_MAP[leaf]:
+                key = prefix + suffix
+                if key in sd:
+                    break
+            else:
+                raise KeyError(f"no torch key for flax {coll}/"
+                               f"{'/'.join(path)} (tried prefix {prefix})")
+            w = sd[key]
+            if leaf == "kernel":
+                w = conv_to_hwio(w) if w.ndim == 4 else linear_to_io(w)
+            _assign(out[coll], path, w)
+    return out

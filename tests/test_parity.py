@@ -125,3 +125,34 @@ class TestGeneratorParity:
         np.testing.assert_allclose(
             np.asarray(j_out["img_final"]),
             t_img.numpy().transpose(0, 2, 3, 1), atol=1e-2)
+
+
+class TestDiscriminatorParity:
+    def test_nlayer_d_matches_torch(self, rng):
+        """Import a torch MultiscaleDiscriminator and compare logits."""
+        load_reference_modules()
+        import models.networks as ref_networks
+        from fsvid2vid_tpu.models.discriminator import MultiscaleDiscriminator
+        from fsvid2vid_tpu.utils.torch_port import import_discriminator
+        opt, cfg = tiny_opt_and_cfg()
+        torch.manual_seed(1)
+        tD = ref_networks.define_D(opt, 4, opt.ndf, opt.n_layers_D,
+                                   opt.norm_D, "n_layers", 2, True)
+        jD = MultiscaleDiscriminator(cfg, input_nc=4, ndf=opt.ndf,
+                                     n_layers=opt.n_layers_D, num_D=2)
+        x = rng.randn(2, 4, 64, 64).astype(np.float32)
+        variables = jD.init(jax.random.PRNGKey(0),
+                            jnp.asarray(x.transpose(0, 2, 3, 1)))
+        variables = import_discriminator(
+            jax.device_get(dict(variables)), tD.state_dict())
+        tD.eval()
+        with torch.no_grad():
+            t_out = tD(torch.from_numpy(x))
+        j_out = jD.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                         train=False, mutable=False)
+        for s in range(2):
+            for l in range(len(j_out[s])):
+                np.testing.assert_allclose(
+                    np.asarray(j_out[s][l]),
+                    t_out[s][l].numpy().transpose(0, 2, 3, 1), atol=2e-3,
+                    err_msg=f"scale {s} layer {l}")
