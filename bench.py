@@ -164,5 +164,79 @@ def main():
     }))
 
 
+
+
+def bench_config(cfg, k=1, frames=10, refine_face=False):
+    """Measure whole-clip synthesis fps for an arbitrary workload config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fsvid2vid_tpu.training.state import build_models
+    from fsvid2vid_tpu.inference.pipeline import run_sequence
+    from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
+
+    models = build_models(cfg)
+    netG = models.netG
+    h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+    rng = np.random.RandomState(0)
+    ref_l = jnp.asarray(rng.randn(1, k, h, w, cl).astype(np.float32))
+    ref_i = jnp.asarray(np.tanh(rng.randn(1, k, h, w, 3)).astype(np.float32))
+    n_prev = cfg.n_frames_G - 1
+    label0 = jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32))
+    prev_l = jnp.zeros((1, h, w, cl * n_prev), jnp.float32)
+    prev_i = jnp.zeros((1, h, w, 3 * n_prev), jnp.float32)
+    variables = netG.init(jax.random.PRNGKey(0), label0, ref_l, ref_i,
+                          prev_l, prev_i, warp_prev=cfg.n_frames_G > 1,
+                          train=False)
+    variables = bf16_params(variables)
+    params_G = {"G": variables["params"]}
+    aux_G = {"G": {k_: v for k_, v in variables.items() if k_ != "params"}}
+
+    sets = [cast_floating(jnp.asarray(
+        rng.randn(frames, 1, h, w, cl).astype(np.float32)), jnp.bfloat16)
+        for _ in range(3)]
+    ref_l, ref_i = cast_floating((ref_l, ref_i), jnp.bfloat16)
+
+    def run(labels):
+        out = run_sequence(cfg, models, params_G, aux_G, labels, ref_l, ref_i)
+        return float(jnp.sum(out.astype(jnp.float32)))
+
+    run(sets[0])
+    t0 = time.perf_counter()
+    for s in sets[1:]:
+        run(s)
+    dt = (time.perf_counter() - t0) / (len(sets) - 1)
+    return frames / dt
+
+
+def bench_all():
+    """Measure the BASELINE.json config suite -> BENCH_EXTRA.json."""
+    from fsvid2vid_tpu.config import face_config, pose_config, street_config
+    results = {}
+    suites = [
+        ("face_256_K1", face_config(is_train=False, fine_size=256,
+                                    load_size=256), 1),
+        ("street_512", street_config(is_train=False), 1),
+        ("pose_256", pose_config(is_train=False, fine_size=256,
+                                 load_size=256), 1),
+        ("face_512_K8_attention", face_config(is_train=False, fine_size=512,
+                                              load_size=512, n_shot=8), 8),
+    ]
+    for name, cfg, k in suites:
+        try:
+            results[name] = round(bench_config(cfg, k=k), 3)
+            print(f"{name}: {results[name]} fps", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"failed: {e}"
+            print(f"{name} failed: {e}", file=sys.stderr)
+    with open(os.path.join(REPO, "BENCH_EXTRA.json"), "w") as f:
+        json.dump({"unit": "frames/sec/chip (bf16 whole-clip scan)",
+                   **results}, f, indent=2)
+    return results
+
+
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv:
+        bench_all()
+    else:
+        main()

@@ -296,3 +296,97 @@ class FlowNet2(nn.Module):
             [x1, sd_flow, s2_flow, norm_sd, norm_s2, diff_sd, diff_s2],
             axis=-1)  # 11ch
         return FlowNetFusion(name="flownetfusion")(concat3)
+
+
+# ---------------------------------------------------------------------------
+# Standalone sub-variants (models.py:185-470): the vendored repo exposes
+# single-network and partial-cascade flow estimators; unused by the
+# few-shot-vid2vid training path but part of the FlowNet2 model family.
+# Each takes (im1, im2) in [0, rgb_max] and returns 1/4-res flow upsampled
+# bilinearly x4, scaled by div_flow (matching the torch wrappers' outputs).
+# ---------------------------------------------------------------------------
+
+class _RgbNorm(nn.Module):
+    rgb_max: float = 1.0
+
+    def __call__(self, im1, im2):
+        stacked = jnp.stack([im1, im2], axis=1)
+        rgb_mean = stacked.mean(axis=(1, 2, 3), keepdims=True)[:, 0]
+        return (im1 - rgb_mean) / self.rgb_max, (im2 - rgb_mean) / self.rgb_max
+
+
+class FlowNet2C(nn.Module):
+    div_flow: float = 20.0
+    rgb_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        x1, x2 = _RgbNorm(self.rgb_max)(im1, im2)
+        flow2 = FlowNetC(name="flownetc")(x1, x2)
+        return upsample_bilinear(flow2 * self.div_flow, 4)
+
+
+class FlowNet2S(nn.Module):
+    div_flow: float = 20.0
+    rgb_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        x1, x2 = _RgbNorm(self.rgb_max)(im1, im2)
+        flow2 = FlowNetS(input_channels=6, name="flownets")(
+            jnp.concatenate([x1, x2], axis=-1))
+        return upsample_bilinear(flow2 * self.div_flow, 4)
+
+
+class FlowNet2SD(nn.Module):
+    div_flow: float = 20.0
+    rgb_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        x1, x2 = _RgbNorm(self.rgb_max)(im1, im2)
+        flow2 = FlowNetSD(name="flownets_d")(
+            jnp.concatenate([x1, x2], axis=-1))
+        return upsample_bilinear(flow2 * self.div_flow, 4)
+
+
+class FlowNet2CS(nn.Module):
+    """FlowNetC -> warp -> FlowNetS refinement (models.py:350-413)."""
+    div_flow: float = 20.0
+    rgb_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        x1, x2 = _RgbNorm(self.rgb_max)(im1, im2)
+        c_flow = upsample_bilinear(
+            FlowNetC(name="flownetc")(x1, x2) * self.div_flow, 4)
+        warped = flow_warp(x2, c_flow)
+        diff = channel_norm(x1 - warped)
+        concat1 = jnp.concatenate(
+            [x1, x2, warped, c_flow / self.div_flow, diff], axis=-1)
+        s1_flow2 = FlowNetS(name="flownets_1")(concat1)
+        return upsample_bilinear(s1_flow2 * self.div_flow, 4)
+
+
+class FlowNet2CSS(nn.Module):
+    """FlowNet2CS + a second FlowNetS stage (models.py:415-470)."""
+    div_flow: float = 20.0
+    rgb_max: float = 1.0
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        x1, x2 = _RgbNorm(self.rgb_max)(im1, im2)
+        c_flow = upsample_bilinear(
+            FlowNetC(name="flownetc")(x1, x2) * self.div_flow, 4)
+        warped = flow_warp(x2, c_flow)
+        diff = channel_norm(x1 - warped)
+        concat1 = jnp.concatenate(
+            [x1, x2, warped, c_flow / self.div_flow, diff], axis=-1)
+        s1_flow = upsample_bilinear(
+            FlowNetS(name="flownets_1")(concat1) * self.div_flow, 4)
+        warped = flow_warp(x2, s1_flow)
+        diff = channel_norm(x1 - warped)
+        concat2 = jnp.concatenate(
+            [x1, x2, warped, s1_flow / self.div_flow, diff], axis=-1)
+        s2_flow2 = FlowNetS(name="flownets_2")(concat2)
+        return upsample_bilinear(s2_flow2 * self.div_flow, 4)

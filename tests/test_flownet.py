@@ -155,3 +155,18 @@ class TestFlowTeacher:
         # before temporal phase: no prev flow
         flow_gt2, _ = teacher(cfg, seq, epoch=1)
         assert flow_gt2[1] is None and flow_gt2[0] is not None
+
+
+class TestVariants:
+    @pytest.mark.parametrize("cls_name", ["FlowNet2C", "FlowNet2S",
+                                          "FlowNet2SD", "FlowNet2CS",
+                                          "FlowNet2CSS"])
+    def test_variant_shapes(self, rng, cls_name):
+        import fsvid2vid_tpu.models.flownet.flownet2 as fn2
+        m = getattr(fn2, cls_name)()
+        im1 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        im2 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), im1, im2)
+        flow = m.apply(v, im1, im2)
+        assert flow.shape == (1, 64, 64, 2)
+        assert np.isfinite(np.asarray(flow)).all()
