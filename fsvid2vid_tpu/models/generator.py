@@ -229,30 +229,63 @@ class FewShotGenerator(nn.Module):
             x = layer(x, train)
         return x
 
-    def _attention_module(self, x, label, label_ref, attention=None,
-                          train=False):
-        """x: (B*K, h, w, c) features; label: (B,H,W,Cl); label_ref (B*K,H,W,Cl).
+    def _attention_module(self, x, x_label, label, label_ref, train=False):
+        """Multi-reference spatial attention (generator.py:298-316), computed
+        in query chunks with a streaming softmax so the (B, K*hw, hw) energy
+        matrix is never materialized — at K=8, 512px the dense matrix is
+        multi-GB and OOMs a single chip (the torch reference has the same
+        blowup); chunked, memory is O(K*hw * chunk).
 
-        Returns (combined (B,h,w,c), attention (B,K*hw,hw), atn_vis)."""
+        x (and optionally x_label): (B*K, h, w, c) features to combine.
+        Returns (out_x, out_label, atn_sum (B,K), atn_vis)."""
         bk, h, w, c = x.shape
         n = self.cfg.n_shot
         b = bk // n
-        if attention is None:
-            key = self._attention_encode(label_ref, self.atn_key_first,
-                                         self.atn_key, train)
-            query = self._attention_encode(label, self.atn_query_first,
-                                           self.atn_query, train)
-            key = key.reshape(b, n * h * w, c)
-            query = query.reshape(b, h * w, c)
-            energy = jnp.einsum("bnc,bqc->bnq", key, query,
+        hw = h * w
+        key = self._attention_encode(label_ref, self.atn_key_first,
+                                     self.atn_key, train)
+        query = self._attention_encode(label, self.atn_query_first,
+                                       self.atn_query, train)
+        key = key.reshape(b, n * hw, c)
+        query = query.reshape(b, hw, c)
+        xf = x.reshape(b, n * hw, c)
+        lf = (x_label.reshape(b, n * hw, c) if x_label is not None else None)
+
+        # largest power-of-two query chunk keeping the energy slab <= ~2^23 f32
+        q_chunk = hw
+        while q_chunk > 128 and n * hw * q_chunk > (1 << 23):
+            q_chunk //= 2
+        n_chunks = hw // q_chunk
+        assert n_chunks * q_chunk == hw
+
+        def one_chunk(q_c):
+            energy = jnp.einsum("bnc,bqc->bnq", key.astype(jnp.float32),
+                                q_c.astype(jnp.float32),
                                 preferred_element_type=jnp.float32)
-            attention = jax.nn.softmax(energy, axis=1)
-        xf = x.reshape(b, n * h * w, c)
-        out = jnp.einsum("bnc,bnq->bqc", xf, attention.astype(xf.dtype),
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(b, h, w, c).astype(x.dtype)
-        atn_vis = attention.reshape(b, n, h * w, h * w).sum(2).reshape(b, n, h, w)
-        return out, attention, atn_vis[-1:, 0:1]
+            attn = jax.nn.softmax(energy, axis=1)
+            out_x = jnp.einsum("bnc,bnq->bqc", xf.astype(jnp.float32), attn,
+                               preferred_element_type=jnp.float32)
+            out_l = (jnp.einsum("bnc,bnq->bqc", lf.astype(jnp.float32), attn,
+                                preferred_element_type=jnp.float32)
+                     if lf is not None else jnp.zeros_like(out_x))
+            a4 = attn.reshape(b, n, hw, -1)
+            return (out_x, out_l, a4.sum((2, 3)), a4.sum(2))
+
+        if n_chunks == 1:
+            out_x, out_l, atn_sum, atn_vis_flat = one_chunk(query)
+        else:
+            q_chunks = query.reshape(b, n_chunks, q_chunk, c).transpose(1, 0, 2, 3)
+            out_x, out_l, atn_sums, atn_vis_c = jax.lax.map(one_chunk, q_chunks)
+            out_x = out_x.transpose(1, 0, 2, 3).reshape(b, hw, -1)
+            out_l = out_l.transpose(1, 0, 2, 3).reshape(b, hw, -1)
+            atn_sum = atn_sums.sum(0)
+            atn_vis_flat = atn_vis_c.transpose(1, 2, 0, 3).reshape(b, n, hw)
+
+        out_x = out_x.reshape(b, h, w, c).astype(x.dtype)
+        out_l = (out_l.reshape(b, h, w, c).astype(x.dtype)
+                 if lf is not None else None)
+        atn_vis = atn_vis_flat.reshape(b, n, h, w)
+        return out_x, out_l, atn_sum, atn_vis[-1:, 0:1]
 
     # ------------------------------------------------------------------
     # reference encoding (generator.py:341-393)
@@ -276,12 +309,12 @@ class FewShotGenerator(nn.Module):
             if self.mul_label_ref:
                 x_label = self.ref_label_down[i](x_label, train)
             if n > 1 and i == cfg.n_downsample_A - 1:
-                x, atn, atn_vis = self._attention_module(
-                    x, label, label_ref, train=train)
+                x, x_label_atn, atn_sum, atn_vis = self._attention_module(
+                    x, x_label if self.mul_label_ref else None,
+                    label, label_ref, train=train)
                 if self.mul_label_ref:
-                    x_label, _, _ = self._attention_module(
-                        x_label, None, None, attention=atn, train=train)
-                atn_sum = atn.reshape(label.shape[0], n, -1).sum(2)
+                    x_label = x_label_atn
+                atn = atn_sum  # per-reference attention mass
                 ref_idx = jnp.argmax(atn_sum, axis=1)
 
         encoded_ref = None

@@ -212,3 +212,60 @@ class TestKLD:
                           rngs={"vae": jax.random.PRNGKey(2)})[0]
         assert out["mu"] is not None and out["logvar"] is not None
         assert out["mu"].shape == (2, 256)
+
+
+class TestChunkedAttention:
+    def test_chunked_matches_dense(self, rng):
+        """The streaming-softmax attention must equal the dense formulation
+        (generator.py:298-316 reference math)."""
+        cfg = tiny_face_cfg(n_shot=3)
+        model = FewShotGenerator(cfg)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        b, k = 2, 3
+        label = jnp.asarray(rng.randn(b, h, w, cl).astype(np.float32))
+        label_refs = jnp.asarray(rng.randn(b, k, h, w, cl).astype(np.float32))
+        img_refs = jnp.asarray(rng.randn(b, k, h, w, 3).astype(np.float32))
+        vs = model.init(jax.random.PRNGKey(0), label, label_refs, img_refs,
+                        None, None, warp_prev=False, train=False)
+
+        ha = cfg.height // (2 ** cfg.n_downsample_A)
+        wa = cfg.width // (2 ** cfg.n_downsample_A)
+        ca = min(cfg.ngf * 2 ** cfg.n_downsample_A,
+                 cfg.ngf * 2 ** cfg.n_downsample_G)
+        x = jnp.asarray(rng.randn(b * k, ha, wa, ca).astype(np.float32))
+        xl = jnp.asarray(rng.randn(b * k, ha, wa, ca).astype(np.float32))
+        lbl_flat = label_refs.reshape(b * k, h, w, cl)
+
+        def run_chunked(m, chunk_limit):
+            import fsvid2vid_tpu.models.generator as G
+            return m._attention_module(x, xl, label, lbl_flat, train=False)
+
+        out = model.apply(vs, x, xl, label, lbl_flat, False,
+                          method=lambda m, *a: m._attention_module(*a),
+                          mutable=False)
+        out_x, out_l, atn_sum, atn_vis = out
+
+        # dense reference computation from the same encoders
+        def dense(m, x_, xl_, label_, lbl_flat_, train):
+            key = m._attention_encode(lbl_flat_, m.atn_key_first, m.atn_key,
+                                      train)
+            query = m._attention_encode(label_, m.atn_query_first,
+                                        m.atn_query, train)
+            n = m.cfg.n_shot
+            bk, hh, ww, c = x_.shape
+            bb = bk // n
+            key = key.reshape(bb, n * hh * ww, c)
+            query = query.reshape(bb, hh * ww, c)
+            energy = jnp.einsum("bnc,bqc->bnq", key, query)
+            attn = jax.nn.softmax(energy, axis=1)
+            o = jnp.einsum("bnc,bnq->bqc", x_.reshape(bb, n * hh * ww, c), attn)
+            return o.reshape(bb, hh, ww, c), attn
+
+        out_dense, attn_dense = model.apply(
+            vs, x, xl, label, lbl_flat, False,
+            method=lambda m, *a: dense(m, *a), mutable=False)
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_dense),
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(atn_sum),
+            np.asarray(attn_dense).reshape(b, 3, -1).sum(2), rtol=1e-4)
