@@ -54,6 +54,7 @@ def pick_ref(refs: jnp.ndarray, ref_idx: Optional[jnp.ndarray]) -> jnp.ndarray:
 class FewShotGenerator(nn.Module):
     cfg: Config
     for_face: bool = False   # face-refinement sub-generator (no flow branches)
+    atn_chunk_elems: int = 1 << 23  # streaming-attention energy-slab budget
 
     # ------------------------------------------------------------------
     # derived sizes
@@ -251,9 +252,9 @@ class FewShotGenerator(nn.Module):
         xf = x.reshape(b, n * hw, c)
         lf = (x_label.reshape(b, n * hw, c) if x_label is not None else None)
 
-        # largest power-of-two query chunk keeping the energy slab <= ~2^23 f32
+        # largest power-of-two query chunk keeping the energy slab bounded
         q_chunk = hw
-        while q_chunk > 128 and n * hw * q_chunk > (1 << 23):
+        while q_chunk > 1 and n * hw * q_chunk > self.atn_chunk_elems:
             q_chunk //= 2
         n_chunks = hw // q_chunk
         assert n_chunks * q_chunk == hw

@@ -219,7 +219,8 @@ class TestChunkedAttention:
         """The streaming-softmax attention must equal the dense formulation
         (generator.py:298-316 reference math)."""
         cfg = tiny_face_cfg(n_shot=3)
-        model = FewShotGenerator(cfg)
+        # small slab budget -> forces multiple query chunks at this size
+        model = FewShotGenerator(cfg, atn_chunk_elems=3 * 256 * 32)
         h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
         b, k = 2, 3
         label = jnp.asarray(rng.randn(b, h, w, cl).astype(np.float32))
