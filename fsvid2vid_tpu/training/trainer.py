@@ -115,6 +115,7 @@ class Trainer:
                 flow_gt_seq, conf_gt_seq = flow_teacher(cfg, seq, epoch)
 
             prevs = None
+            seq_losses: Dict[str, jnp.ndarray] = {}
             for t in range(T):
                 batch_t = {
                     "tgt_label": seq["tgt_label"][:, t],
@@ -140,8 +141,12 @@ class Trainer:
                 self.state, prevs, losses = train_step(
                     cfg, self.models, self.state, batch_t, prevs, flags,
                     step_rng)
-            for k, v in losses.items():
-                losses_accum[k] = losses_accum.get(k, 0.0) + float(v)
+                # accumulate on-device; averaged over ALL frames of the
+                # sequence (not just the last) when logged below
+                for k, v in losses.items():
+                    seq_losses[k] = seq_losses.get(k, 0.0) + v
+            for k, v in seq_losses.items():
+                losses_accum[k] = losses_accum.get(k, 0.0) + float(v) / T
             count += 1
             if cfg.print_freq and (idx + 1) % max(1, cfg.print_freq // max(cfg.batch_size, 1)) == 0:
                 dt = (time.time() - t0) / max(count, 1)
