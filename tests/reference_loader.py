@@ -57,3 +57,70 @@ def make_reference_opt(**overrides):
     for k, v in overrides.items():
         setattr(opt, k, v)
     return opt
+
+
+def load_flownet2_reference():
+    """Return the reference flownet2_pytorch `models` module with its three
+    CUDA extensions (correlation_cuda, resample2d_cuda, channelnorm_cuda)
+    replaced by pure-torch shims whose semantics match our XLA ops exactly
+    (ops/cost_volume.py, ops/warp.py, ops/image_ops.channel_norm) — so a
+    value mismatch in a parity test points at the conv-graph port, not at
+    op edge semantics."""
+    load_reference_modules()
+    import torch
+    import torch.nn.functional as F
+
+    if "correlation_cuda" not in sys.modules:
+        corr = types.ModuleType("correlation_cuda")
+
+        def corr_forward(input1, input2, rbot1, rbot2, output, pad_size,
+                         kernel_size, max_disp, stride1, stride2,
+                         corr_multiply):
+            assert kernel_size == 1 and stride1 == 1 and corr_multiply == 1
+            b, c, h, w = input1.shape
+            md = max_disp
+            f2p = F.pad(input2, (md, md, md, md))
+            d = md // stride2
+            outs = []
+            for dy in range(-d, d + 1):
+                for dx in range(-d, d + 1):
+                    sh = f2p[:, :, md + dy * stride2: md + dy * stride2 + h,
+                             md + dx * stride2: md + dx * stride2 + w]
+                    outs.append((input1 * sh).mean(1))
+            res = torch.stack(outs, 1)
+            output.resize_(res.shape).copy_(res)
+
+        corr.forward = corr_forward
+        sys.modules["correlation_cuda"] = corr
+
+    if "resample2d_cuda" not in sys.modules:
+        rs = types.ModuleType("resample2d_cuda")
+
+        def rs_forward(input1, input2, output, kernel_size):
+            assert kernel_size == 1
+            b, c, h, w = input1.shape
+            flow = input2.float()
+            xs = torch.arange(w, dtype=torch.float32).view(1, 1, 1, w)
+            ys = torch.arange(h, dtype=torch.float32).view(1, 1, h, 1)
+            gx = (xs + flow[:, 0:1]) / max(w - 1, 1) * 2 - 1
+            gy = (ys + flow[:, 1:2]) / max(h - 1, 1) * 2 - 1
+            grid = torch.cat([gx, gy], 1).permute(0, 2, 3, 1)
+            res = F.grid_sample(input1, grid, mode="bilinear",
+                                padding_mode="border", align_corners=True)
+            output.copy_(res)
+
+        rs.forward = rs_forward
+        sys.modules["resample2d_cuda"] = rs
+
+    if "channelnorm_cuda" not in sys.modules:
+        cn = types.ModuleType("channelnorm_cuda")
+
+        def cn_forward(input1, output, norm_deg):
+            assert norm_deg == 2
+            output.copy_(input1.pow(2).sum(1, keepdim=True).sqrt())
+
+        cn.forward = cn_forward
+        sys.modules["channelnorm_cuda"] = cn
+
+    import models.networks.flownet2_pytorch.models as fn2_models
+    return fn2_models
