@@ -107,6 +107,11 @@ def import_vgg19(flax_params: Dict, ckpt_path: str) -> Dict:
     return params
 
 
+# Any torchvision `<arch>.features` CNN (vgg16/vgg19/...) maps identically:
+# features.N.{weight,bias} -> conv_N/{kernel,bias}.
+import_vgg_features = import_vgg19
+
+
 def _copy_tree(tree):
     if isinstance(tree, dict):
         return {k: _copy_tree(v) for k, v in tree.items()}
