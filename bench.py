@@ -32,6 +32,7 @@ def bench_ours():
     import jax.numpy as jnp
     import numpy as np
     from fsvid2vid_tpu.config import face_config
+    from fsvid2vid_tpu.inference.fold import fold_spectral_norm
     from fsvid2vid_tpu.training.state import build_models
     from fsvid2vid_tpu.inference.pipeline import run_sequence
     from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
@@ -52,7 +53,7 @@ def bench_ours():
     variables = netG.init(jax.random.PRNGKey(0), label0, ref_l, ref_i,
                           prev_l, prev_i, warp_prev=cfg.n_frames_G > 1,
                           train=False)
-    variables = bf16_params(variables)
+    variables = bf16_params(fold_spectral_norm(variables))
     params_G = {"G": variables["params"]}
     aux_G = {"G": {k: v for k, v in variables.items() if k != "params"}}
 
@@ -171,6 +172,7 @@ def bench_config(cfg, k=1, frames=10, refine_face=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from fsvid2vid_tpu.inference.fold import fold_spectral_norm
     from fsvid2vid_tpu.training.state import build_models
     from fsvid2vid_tpu.inference.pipeline import run_sequence
     from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
@@ -188,7 +190,7 @@ def bench_config(cfg, k=1, frames=10, refine_face=False):
     variables = netG.init(jax.random.PRNGKey(0), label0, ref_l, ref_i,
                           prev_l, prev_i, warp_prev=cfg.n_frames_G > 1,
                           train=False)
-    variables = bf16_params(variables)
+    variables = bf16_params(fold_spectral_norm(variables))
     params_G = {"G": variables["params"]}
     aux_G = {"G": {k_: v for k_, v in variables.items() if k_ != "params"}}
 

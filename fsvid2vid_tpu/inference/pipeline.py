@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from fsvid2vid_tpu.config import Config
+from fsvid2vid_tpu.inference.fold import fold_spectral_norm
 from fsvid2vid_tpu.models.face_refiner import refine_face_region
 from fsvid2vid_tpu.models.generator import FewShotGenerator, pick_ref
 from fsvid2vid_tpu.models.input_process import use_valid_labels
@@ -106,8 +107,13 @@ class InferencePipeline:
     def __init__(self, cfg: Config, models: ModelBundle, params_G, aux_G):
         self.cfg = cfg
         self.models = models
-        self.params_G = params_G
-        self.aux_G = aux_G
+        # Fold eval-time spectral-norm sigmas into the kernels once (see
+        # inference/fold.py) — per-model variable dicts share the same keys.
+        folded = {k: fold_spectral_norm({"params": params_G[k], **aux_G[k]})
+                  for k in params_G}
+        self.params_G = {k: v["params"] for k, v in folded.items()}
+        self.aux_G = {k: {c: vv for c, vv in v.items() if c != "params"}
+                      for k, v in folded.items()}
         self.cache = None
         self.prevs = None
         self.t = 0

@@ -493,19 +493,41 @@ class FewShotGenerator(nn.Module):
         label_ref = pick_ref(label_refs, ref_idx)
         img_ref = pick_ref(img_refs, ref_idx)
         flow, flow_mask, img_warp, ds_ref = ([None, None] for _ in range(4))
-        if self.warp_ref:
-            flow_ref, mask_ref = self.flow_network_ref(
-                label, label_ref, img_ref, train=train)
-            img_ref_warp = flow_warp(img_ref, flow_ref)
-            flow[0], flow_mask[0] = flow_ref, mask_ref
-            img_warp[0] = img_ref_warp[..., :3]
-        if warp_prev and prev_label is not None:
-            flow_net = (self.flow_network_ref if self.cfg.flow_temp_is_shared
-                        else self.flow_network_temp)
-            flow_prev, mask_prev = flow_net(
-                label, prev_label, prev_img, train=train)
-            img_prev_warp = flow_warp(prev_img[..., -3:], flow_prev)
-            flow[1], flow_mask[1], img_warp[1] = flow_prev, mask_prev, img_prev_warp
+        do_prev = warp_prev and prev_label is not None
+        if (self.warp_ref and do_prev and self.cfg.flow_temp_is_shared
+                and not train):
+            # Shared flow net at eval: the ref and prev estimations are the
+            # same network on same-shaped inputs (n_frames_G == 2) — run them
+            # as one 2B-batch invocation + one batched warp (halves the
+            # flow-branch launches; eval norms use running stats so the
+            # result is identical to two separate calls).
+            b = label.shape[0]
+            flow2, mask2 = self.flow_network_ref(
+                jnp.concatenate([label, label], 0),
+                jnp.concatenate([label_ref, prev_label], 0),
+                jnp.concatenate([img_ref, prev_img], 0), train=False)
+            warp2 = flow_warp(
+                jnp.concatenate([img_ref[..., :3], prev_img[..., -3:]], 0),
+                flow2)
+            flow = [flow2[:b], flow2[b:]]
+            flow_mask = [mask2[:b], mask2[b:]]
+            img_warp = [warp2[:b], warp2[b:]]
+        else:
+            if self.warp_ref:
+                flow_ref, mask_ref = self.flow_network_ref(
+                    label, label_ref, img_ref, train=train)
+                img_ref_warp = flow_warp(img_ref, flow_ref)
+                flow[0], flow_mask[0] = flow_ref, mask_ref
+                img_warp[0] = img_ref_warp[..., :3]
+            if do_prev:
+                flow_net = (self.flow_network_ref
+                            if self.cfg.flow_temp_is_shared
+                            else self.flow_network_temp)
+                flow_prev, mask_prev = flow_net(
+                    label, prev_label, prev_img, train=train)
+                img_prev_warp = flow_warp(prev_img[..., -3:], flow_prev)
+                flow[1], flow_mask[1], img_warp[1] = (flow_prev, mask_prev,
+                                                      img_prev_warp)
         if self.cfg.spade_combine:
             if self.warp_ref:
                 ds_ref[0] = jnp.concatenate([img_warp[0], flow_mask[0]], axis=-1)

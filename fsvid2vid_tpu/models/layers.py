@@ -63,7 +63,10 @@ class SNConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
 
-        if self.use_sn:
+        # Skip the sigma matvec when the 'spectral' collection was folded out
+        # of the variables (inference fast path, fold.fold_spectral_norm).
+        if self.use_sn and (self.is_initializing()
+                            or self.has_variable("spectral", "u")):
             mat = conv_kernel_matrix(kernel)
             u = self.variable("spectral", "u",
                               lambda k_: jax.random.normal(k_, (mat.shape[0],)),
@@ -103,7 +106,8 @@ class SNDense(nn.Module):
         kernel = self.param("kernel", self.kernel_init, (din, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
-        if self.use_sn:
+        if self.use_sn and (self.is_initializing()
+                            or self.has_variable("spectral", "u")):
             mat = dense_kernel_matrix(kernel)
             u = self.variable("spectral", "u",
                               lambda k_: jax.random.normal(k_, (mat.shape[0],)),
@@ -190,6 +194,22 @@ def make_plain_norm(norm: str, features: int, name: Optional[str] = None):
     return None
 
 
+class _ConvParams(nn.Module):
+    """Owns an nn.Conv-shaped (kernel, bias) pair without applying it, so
+    callers can fuse several convs over one input into a single MXU pass
+    while the checkpoint tree stays identical to separate nn.Conv modules."""
+    cin: int
+    cout: int
+    ks: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_normal_init(),
+                            (self.ks, self.ks, self.cin, self.cout))
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return kernel, bias
+
+
 class Spade(nn.Module):
     """SPADE modulation: param-free norm then per-map gamma/beta from conv(map).
 
@@ -198,6 +218,10 @@ class Spade(nn.Module):
     externally generated per-sample weights (weights arg, batch_conv path
     normalization.py:47-50 — the generated biases are unused there, matching
     the reference exactly).
+
+    TPU note: each map's gamma and beta convs are fused into ONE conv over
+    concatenated output channels (one read of the full-res map instead of
+    two); parameters keep the reference's mlp_gamma/mlp_beta layout.
     """
     norm_nc: int
     hidden_ncs: Sequence[int]
@@ -214,23 +238,31 @@ class Spade(nn.Module):
         else:
             normed = InstanceNorm(self.norm_nc, affine=False, eps=0.1, name="norm")(x, train)
         out = normed
+        nc = self.norm_nc
         pad = self.ks // 2
         for i, m in enumerate(maps):
             if m is None:
                 continue
             m = resize_nearest(m, x.shape[1:3])
             if weights is not None and i == 0:
-                # generated per-sample conv weights, no bias (normalization.py:47-50)
-                gamma = batch_conv(m, weights[0])
-                beta = batch_conv(m, weights[1])
+                # generated per-sample conv weights, no bias
+                # (normalization.py:47-50); fused along out-channels
+                gb = batch_conv(m, jnp.concatenate(
+                    [weights[0], weights[1]], axis=-1))
+                gamma, beta = gb[..., :nc], gb[..., nc:]
             else:
                 s = str(i + 1) if i > 0 else ""
-                gamma = nn.Conv(self.norm_nc, (self.ks, self.ks),
-                                padding=pad, kernel_init=xavier_normal_init(),
-                                name=f"mlp_gamma{s}")(m)
-                beta = nn.Conv(self.norm_nc, (self.ks, self.ks),
-                               padding=pad, kernel_init=xavier_normal_init(),
-                               name=f"mlp_beta{s}")(m)
+                gk, gbias = _ConvParams(m.shape[-1], nc, self.ks,
+                                        name=f"mlp_gamma{s}")()
+                bk, bbias = _ConvParams(m.shape[-1], nc, self.ks,
+                                        name=f"mlp_beta{s}")()
+                w = jnp.concatenate([gk, bk], axis=-1).astype(m.dtype)
+                gb = jax.lax.conv_general_dilated(
+                    m, w, window_strides=(1, 1),
+                    padding=((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                gb = gb + jnp.concatenate([gbias, bbias]).astype(gb.dtype)
+                gamma, beta = gb[..., :nc], gb[..., nc:]
             out = out * (1 + gamma) + beta
         return out
 

@@ -13,11 +13,15 @@ Both reduce to the same pixel-space semantics, implemented here once:
   X = clip(x + u, 0, W-1), Y = clip(y + v, 0, H-1)
   out = (1-fx)(1-fy) I[Y0,X0] + fx(1-fy) I[Y0,X1] + (1-fx)fy I[Y1,X0] + fx fy I[Y1,X1]
 
-The bilinear weights are differentiable w.r.t. the flow and the four gathers are
+The bilinear weights are differentiable w.r.t. the flow and the gather is
 differentiable w.r.t. the image (scatter-add in the VJP), so plain JAX autodiff
-reproduces the CUDA kernels' analytic gradients.  Layout is NHWC (TPU-friendly);
-the gather is expressed as a flat take_along_axis so XLA lowers it to an
-efficient dynamic-gather.
+reproduces the CUDA kernels' analytic gradients.  Layout is NHWC (TPU-friendly).
+
+TPU performance note: XLA point gathers are index-bound (~6 ms per 2M indices
+on v5e, measured), so instead of four corner gathers this op builds an
+edge-replicated 2x2-patch image (4C channels, four cheap shifted copies) and
+fetches all four corners with ONE gather at (y0, x0) — 4x fewer indices.  Edge
+replication reproduces the x1 = min(x0+1, W-1) border clamp exactly.
 """
 from __future__ import annotations
 
@@ -53,25 +57,22 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     fy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, h - 1)
 
-    flat = image.reshape(b, h * w, c)
+    # 2x2 patch image: channels [I(y,x), I(y,x+1), I(y+1,x), I(y+1,x+1)]
+    # with edge replication (== the min(idx+1, dim-1) corner clamp).
+    right = jnp.concatenate([image[:, :, 1:], image[:, :, -1:]], axis=2)
+    row0 = jnp.concatenate([image, right], axis=-1)          # (b,h,w,2c)
+    row1 = jnp.concatenate([row0[:, 1:], row0[:, -1:]], axis=1)
+    patches = jnp.concatenate([row0, row1], axis=-1).reshape(b, h * w, 4 * c)
 
-    def gather(yi, xi):
-        idx = (yi * w + xi).reshape(b, h * w, 1)
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
+    idx = (y0i * w + x0i).reshape(b, h * w, 1)
+    v = jnp.take_along_axis(patches, idx, axis=1).reshape(b, h, w, 4, c)
 
     fx = fx[..., None].astype(dtype)
     fy = fy[..., None].astype(dtype)
     one = jnp.asarray(1.0, dtype)
-    out = ((one - fy) * ((one - fx) * v00 + fx * v01)
-           + fy * ((one - fx) * v10 + fx * v11))
+    out = ((one - fy) * ((one - fx) * v[..., 0, :] + fx * v[..., 1, :])
+           + fy * ((one - fx) * v[..., 2, :] + fx * v[..., 3, :]))
     return out
 
 

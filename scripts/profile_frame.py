@@ -1,176 +1,162 @@
-"""Segment-level profile of the 512px inference frame step on one TPU chip.
+"""Ablation profile of the inference frame step on one TPU chip.
 
-Times each stage of FewShotGenerator.synthesize as its own jitted program and
-reports wall-clock plus XLA cost analysis (FLOPs, HBM bytes), so optimization
-effort goes where the time actually is (VERDICT r1: 34.6 ms vs ~15.5 ms HBM
-floor).  Run: python scripts/profile_frame.py [--size 512]
+The remote-device relay costs O(100 ms) per program dispatch, so a component
+cannot be timed by looping host-side calls.  Instead each component runs K
+times inside ONE jitted lax.scan over K distinct labels (distinct inputs so
+CSE cannot collapse the iterations), and the per-iteration time is
+(t_scan - t_dispatch_overhead) / K with the overhead measured from an empty
+scan of the same shape.
+
+Usage: python scripts/profile_frame.py [SIZE] [comp1,comp2,...]
+Components: full embed flow1 flow2 sc main
 """
-import argparse
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
 import jax
-from fsvid2vid_tpu.cache import enable_compilation_cache
-enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
+from fsvid2vid_tpu.cache import enable_compilation_cache
 from fsvid2vid_tpu.config import face_config
+from fsvid2vid_tpu.inference.fold import fold_spectral_norm
 from fsvid2vid_tpu.training.state import build_models
 from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
-from fsvid2vid_tpu.models.input_process import use_valid_labels
 
-REPS = 6
+SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+WHICH = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+K = 10          # scan iterations per program
+RUNS = 3        # timed program dispatches (min taken)
 
 
-def timed(name, fn, make_args, static_args=()):
-    """Compile fn(*make_args(i)), time REPS distinct-input calls (the remote
-    tunnel memoizes identical executions), report ms + cost analysis."""
-    jfn = jax.jit(fn)
-    args0 = make_args(0)
-    lowered = jfn.lower(*args0)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    flops = cost.get("flops", 0.0)
-    byts = sum(v for k, v in cost.items() if k.startswith("bytes accessed"))
-    # warmup
-    r = jfn(*args0)
-    _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
+def make_scan(fn):
+    """fn: label -> pytree.  Returns jitted labels(K,...) -> scalar."""
+    def body(c, lbl):
+        out = fn(lbl)
+        leaves = [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out)]
+        return c + sum(leaves), None
+
+    @jax.jit
+    def run(labels):
+        c, _ = jax.lax.scan(body, jnp.float32(0), labels)
+        return c
+    return run
+
+
+def timeit(name, fn, labels_sets, overhead_s):
+    run = make_scan(fn)
     t0 = time.perf_counter()
-    for i in range(1, REPS + 1):
-        r = jfn(*make_args(i))
-        _ = float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / REPS * 1000
-    print(f"{name:28s} {dt:8.2f} ms   {flops/1e9:8.1f} GFLOP   "
-          f"{byts/1e9:7.2f} GB HBM   "
-          f"(bw-floor {byts/819e9*1000:5.2f} ms, mxu-floor {flops/197e12*1000:5.2f} ms)")
+    float(run(labels_sets[0]))
+    print(f"[compile {name}: {time.perf_counter() - t0:.1f}s]",
+          file=sys.stderr, flush=True)
+    best = float("inf")
+    for s in labels_sets[1:1 + RUNS]:
+        t0 = time.perf_counter()
+        float(run(s))
+        best = min(best, time.perf_counter() - t0)
+    dt = (best - overhead_s) / K * 1000
+    print(f"{name:32s} {dt:8.2f} ms", flush=True)
     return dt
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512)
-    args = ap.parse_args()
-    size = args.size
-
-    cfg = face_config(batch_size=1, is_train=False, fine_size=size,
-                      load_size=size)
+    enable_compilation_cache()
+    cfg = face_config(batch_size=1, is_train=False, fine_size=SIZE,
+                      load_size=SIZE)
     models = build_models(cfg)
     netG = models.netG
     h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
-    rng = np.random.RandomState(0)
 
+    rng = np.random.RandomState(0)
     label = jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32))
     ref_l = jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32))
     ref_i = jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32))
     n_prev = cfg.n_frames_G - 1
-    prev_l = jnp.zeros((1, h, w, cl * n_prev), jnp.float32)
-    prev_i = jnp.zeros((1, h, w, 3 * n_prev), jnp.float32)
-    variables = netG.init(jax.random.PRNGKey(0), label, ref_l, ref_i,
-                          prev_l, prev_i, warp_prev=cfg.n_frames_G > 1,
-                          train=False)
-    variables = bf16_params(variables)
-    params = variables["params"]
-    aux = {k: v for k, v in variables.items() if k != "params"}
-    vfull = {"params": params, **aux}
+    prev_l = jnp.asarray(rng.randn(1, h, w, cl * n_prev).astype(np.float32))
+    prev_i = jnp.asarray(
+        np.tanh(rng.randn(1, h, w, 3 * n_prev)).astype(np.float32))
+    variables = jax.jit(lambda k: netG.init(
+        k, label, ref_l, ref_i, prev_l, prev_i, warp_prev=True,
+        train=False))(jax.random.PRNGKey(0))
+    variables = bf16_params(fold_spectral_norm(variables))
+    var_all = variables
 
-    bf16 = jnp.bfloat16
     label, ref_l, ref_i, prev_l, prev_i = cast_floating(
-        (label, ref_l, ref_i, prev_l, prev_i), bf16)
+        (label, ref_l, ref_i, prev_l, prev_i), jnp.bfloat16)
+    labels_sets = [
+        cast_floating(jnp.asarray(
+            rng.randn(K, 1, h, w, cl).astype(np.float32)), jnp.bfloat16)
+        for _ in range(RUNS + 1)]
 
-    def randin(i, shape):
-        r = np.random.RandomState(1000 + i)
-        return jnp.asarray(r.randn(*shape).astype(np.float32)).astype(bf16)
+    cache = jax.jit(lambda rl, ri, lb: netG.apply(
+        var_all, rl, ri, lb, method=netG.encode_reference,
+        mutable=False))(ref_l, ref_i, label)
 
-    # --- reference cache (computed once at t=0, off the per-frame path) ---
-    lv = use_valid_labels(cfg, label)
-    rlv = use_valid_labels(cfg, ref_l)
-    cache = jax.jit(lambda l, rl, ri: netG.apply(
-        vfull, rl, ri, l, method=netG.encode_reference, mutable=False))(
-        label, ref_l, ref_i)
+    def full_step(lbl):
+        return netG.apply(var_all, lbl, ref_l, ref_i, cache, prev_l,
+                          prev_i, warp_prev=True,
+                          method=netG.synthesize, mutable=False)["img_final"]
 
-    # ---- segment: label embedding ----
-    def seg_label_embed(lbl):
-        return netG.apply(vfull, lbl,
-                          weights=cache["embedding_weights"],
-                          train=False, mutable=False,
-                          method=lambda m, lbl, weights, train: m.label_embedding(
-                              lbl, weights=weights, train=train))
-    timed("label_embedding", seg_label_embed,
-          lambda i: (randin(i, (1, h, w, cl)),))
+    def embed_only(lbl):
+        def m(g, lb):
+            return g.label_embedding(
+                lb, weights=cache["embedding_weights"], train=False)
+        return netG.apply(var_all, lbl, method=m, mutable=False)
 
-    # ---- segment: one flow network invocation ----
-    def seg_flow(lbl, pl, pi):
-        return netG.apply(vfull, lbl, pl, pi, train=False, mutable=False,
-                          method=lambda m, a, b, c, train: m.flow_network_ref(
-                              a, b, c, train=train))
-    timed("flow_network (x1)", seg_flow,
-          lambda i: (randin(i, (1, h, w, cl)), randin(i + 50, (1, h, w, cl)),
-                     randin(i + 100, (1, h, w, 3))))
+    def flow_ref_only(lbl):
+        def m(g, lb):
+            return g.flow_network_ref(lb, ref_l[:, 0], ref_i[:, 0],
+                                      train=False)
+        return netG.apply(var_all, lbl, method=m, mutable=False)
 
-    # ---- segment: full flow_generation (both branches + warps) ----
-    def seg_flowgen(lbl, rl, ri, pl, pi):
-        return netG.apply(vfull, lbl, rl, ri, pl, pi, None, True, False,
-                          mutable=False,
-                          method=lambda m, a, b, c, d, e, f, g, t: m.flow_generation(
-                              a, b, c, d, e, f, warp_prev=g, train=t))
-    timed("flow_generation (both)", seg_flowgen,
-          lambda i: (randin(i, (1, h, w, cl)), randin(i + 50, (1, 1, h, w, cl)),
-                     randin(i + 100, (1, 1, h, w, 3)),
-                     randin(i + 150, (1, h, w, cl * n_prev)),
-                     randin(i + 200, (1, h, w, 3 * n_prev))))
+    def flow_both(lbl):
+        def m(g, lb):
+            return g.flow_generation(lb, ref_l, ref_i, prev_l, prev_i, None,
+                                     True, False)
+        out = netG.apply(var_all, lbl, method=m, mutable=False)
+        return [x for x in out[0] + out[1] + out[2] if x is not None]
 
-    # ---- segment: spade-combine embedders (x2) ----
-    def seg_sc(ds0, ds1):
-        return netG.apply(vfull, [ds0, ds1], False, mutable=False,
-                          method=lambda m, ds, t: m._spade_combine(
-                              [jnp.zeros((1, h // (2 ** k), w // (2 ** k), 1),
-                                         bf16) for k in range(cfg.n_downsample_G + 1)][::-1]
-                              if False else
-                              [None] * (cfg.n_downsample_G + 1), ds, t))
-    # _spade_combine needs encoded_label list; simpler: time embedders directly
-    def seg_embedders(ds0, ds1):
-        def run(m, a, b, t):
-            e0 = m.img_ref_embedding(a, train=t)
-            e1 = (m.img_ref_embedding if m.cfg.prev_embedding_is_shared
-                  else m.img_prev_embedding)(b, train=t)
-            return e0, e1
-        return netG.apply(vfull, ds0, ds1, False, mutable=False, method=run)
-    timed("sc embedders (x2)", seg_embedders,
-          lambda i: (randin(i, (1, h, w, 4)), randin(i + 50, (1, h, w, 4))))
+    def sc_embed_only(lbl):
+        def m(g, lb):
+            ds = jnp.concatenate([ref_i[:, 0], lb[..., :1]], axis=-1)
+            return g.img_ref_embedding(ds, train=False)
+        return netG.apply(var_all, lbl, method=m, mutable=False)
 
-    # ---- segment: main branch ----
-    enc_l = jax.jit(seg_label_embed)(label)
-    ds0 = randin(7, (1, h, w, 4))
-    ds1 = randin(8, (1, h, w, 4))
-    def seg_main(x_kld, enc, d0, d1):
-        def run(m, x, e, a, b, t):
-            e = m._spade_combine(list(e), [a, b], t)
+    def main_branch_only(lbl):
+        def m(g, lb):
+            enc = g.label_embedding(
+                lb, weights=cache["embedding_weights"], train=False)
             gen = dict(conv_weights=cache["conv_weights"],
                        norm_weights=cache["norm_weights"])
-            return m._main_branch(x, e, gen, None, t)
-        return netG.apply(vfull, x_kld, enc, d0, d1, False, mutable=False,
-                          method=run)
-    timed("main branch (+sc embed)", seg_main,
-          lambda i: (cache["x_kld"] + 0 * i, enc_l, randin(i, (1, h, w, 4)),
-                     randin(i + 50, (1, h, w, 4))))
+            return g._main_branch(cache["x_kld"], enc, gen, None, False)[0]
+        return netG.apply(var_all, lbl, method=m, mutable=False)
 
-    # ---- full synthesize ----
-    def seg_full(lbl, rl, ri, pl, pi):
-        lv = use_valid_labels(cfg, lbl)
-        rlv = use_valid_labels(cfg, rl)
-        return netG.apply(vfull, lv, rlv, ri, cache, pl, pi,
-                          warp_prev=True, method=netG.synthesize,
-                          mutable=False)["img_final"]
-    timed("FULL synthesize", seg_full,
-          lambda i: (randin(i, (1, h, w, cl)), randin(i + 50, (1, 1, h, w, cl)),
-                     randin(i + 100, (1, 1, h, w, 3)),
-                     randin(i + 150, (1, h, w, cl * n_prev)),
-                     randin(i + 200, (1, h, w, 3 * n_prev))))
+    # dispatch overhead: empty scan over the same label stack
+    over_run = make_scan(lambda lbl: jnp.float32(0))
+    float(over_run(labels_sets[0]))
+    overhead = min(_timed(over_run, s) for s in labels_sets[1:])
+    print(f"[dispatch overhead: {overhead * 1000:.1f} ms]", file=sys.stderr,
+          flush=True)
+
+    print(f"=== {SIZE}px frame-step ablation, bf16, "
+          f"{jax.devices()[0].device_kind}, K={K} ===", flush=True)
+    parts = {
+        "full": ("full synthesize step", full_step),
+        "embed": ("label_embedding", embed_only),
+        "flow1": ("flow net (ref only)", flow_ref_only),
+        "flow2": ("flow_generation (both)", flow_both),
+        "sc": ("spade-combine embed (one)", sc_embed_only),
+        "main": ("main branch (+embed)", main_branch_only),
+    }
+    for key, (name, fn) in parts.items():
+        if WHICH is None or key in WHICH:
+            timeit(name, fn, labels_sets, overhead)
+
+
+def _timed(run, s):
+    t0 = time.perf_counter()
+    float(run(s))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -66,6 +66,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_flow_gt", action="store_true")
     p.add_argument("--lambda_temp", type=float, default=None)
     # runtime
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pod "
+                        "slice; replaces reference util/distributed.py NCCL "
+                        "init). On TPU pods all coordinates auto-detect.")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (non-TPU backends)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--steps_per_epoch", type=int, default=1000)
     p.add_argument("--num_workers", type=int, default=None)
     p.add_argument("--flownet_ckpt", type=str, default="",
@@ -95,8 +103,26 @@ def _config_fields():
     return {f.name for f in dataclasses.fields(Config)}
 
 
+def maybe_init_distributed(args) -> None:
+    """Multi-controller init (replaces reference util/distributed.py:15-26 —
+    torch.distributed NCCL init_process_group).  Must run before any other
+    jax call.  On a TPU pod slice `jax.distributed.initialize()` auto-detects
+    everything; on CPU/GPU pass coordinator/process coordinates explicitly.
+    See docs/MULTIHOST.md for pod-slice launch commands."""
+    if not getattr(args, "distributed", False):
+        return
+    import jax
+    kwargs = {}
+    if args.coordinator_address:
+        kwargs.update(coordinator_address=args.coordinator_address,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def main() -> None:
     args = build_arg_parser().parse_args()
+    maybe_init_distributed(args)
     cfg = config_from_args(args, is_train=True)
 
     import jax
@@ -108,8 +134,9 @@ def main() -> None:
     from fsvid2vid_tpu.training.flow_teacher import FlowTeacher
     from fsvid2vid_tpu.utils.visualizer import Visualizer
 
-    os.makedirs(os.path.join(cfg.checkpoints_dir, cfg.name), exist_ok=True)
-    cfg.save(os.path.join(cfg.checkpoints_dir, cfg.name, "config.json"))
+    if jax.process_index() == 0:
+        os.makedirs(os.path.join(cfg.checkpoints_dir, cfg.name), exist_ok=True)
+        cfg.save(os.path.join(cfg.checkpoints_dir, cfg.name, "config.json"))
     vis = Visualizer(cfg)
 
     loader = SequenceLoader(cfg, steps_per_epoch=args.steps_per_epoch,
