@@ -102,12 +102,19 @@ def _finetune_step(cfg: Config, models: ModelBundle, state: TrainState,
     flags = step_lib.StepFlags(warp_prev=False, has_prev=False)
     rngs = {"vae": rng} if cfg.use_kld else None
 
-    gen_out, masks, refs, _ = step_lib.generate_images(
-        cfg, models, state.params_G, state.aux_G, batch, prevs, flags,
-        train=True, rngs=rngs)
+    # Single generation linearized wrt params_G, shared by the D and G
+    # updates (same structure as step_lib.train_step).
+    def gen_fn(params_G):
+        outputs, masks, refs, new_aux_G = step_lib.generate_images(
+            cfg, models, params_G, state.aux_G, batch, prevs, flags,
+            train=True, rngs=rngs)
+        diff = {k: outputs[k] for k in step_lib._DIFF_KEYS}
+        return diff, (outputs, masks, refs, new_aux_G)
+    diff_out, gen_vjp, (outputs, masks, refs, gen_aux_G) = jax.vjp(
+        gen_fn, state.params_G, has_aux=True)
     gen_det = jax.tree.map(
         lambda x: jax.lax.stop_gradient(x) if x is not None else None,
-        dict(fake_image=gen_out["fake_image"], fake_raw=gen_out["fake_raw"]),
+        dict(fake_image=diff_out["fake_image"], fake_raw=diff_out["fake_raw"]),
         is_leaf=lambda x: x is None)
 
     def d_loss_fn(params_D):
@@ -120,18 +127,19 @@ def _finetune_step(cfg: Config, models: ModelBundle, state: TrainState,
     new_aux_D = {k: d_aux["new_aux_D"].get(k, v)
                  for k, v in state.aux_D.items()}
 
-    def g_loss_fn(params_G):
-        return step_lib._g_losses(cfg, models, params_G, new_params_D,
-                                  state.aux_G, new_aux_D, state.vgg_params,
-                                  batch, prevs, flags, rngs)
-    (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.params_G)
+    def g_loss_fn(diff):
+        outs = dict(outputs, **diff)
+        return step_lib._g_losses(cfg, models, new_params_D, new_aux_D,
+                                  state.vgg_params, batch, prevs, flags,
+                                  outs, masks, refs)
+    (_, g_aux), out_bar = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        diff_out)
+    (g_grads,) = gen_vjp(out_bar)
     masked_opt = masked_tx(opt_G_tx, state.params_G)
     g_updates, new_opt_G = masked_opt.update(g_grads, state.opt_G,
                                              state.params_G)
     new_params_G = optax.apply_updates(state.params_G, g_updates)
-    new_aux_G = {k: g_aux["new_aux_G"].get(k, v)
-                 for k, v in state.aux_G.items()}
+    new_aux_G = {k: gen_aux_G.get(k, v) for k, v in state.aux_G.items()}
 
     new_state = state.replace(
         step=state.step + 1, params_G=new_params_G, params_D=new_params_D,

@@ -36,6 +36,17 @@ def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
     oh, ow = size
     if (oh, ow) == (h, w):
         return x
+    # Integer-ratio fast paths: floor(i * h/oh) is a strided slice (downsize)
+    # or a constant-block broadcast (upsize) — XLA lowers the generic
+    # constant-index gather below as a real gather, which is index-bound on
+    # TPU; these paths are exact and ~free.
+    if h % oh == 0 and w % ow == 0:
+        return x[:, ::h // oh, :: w // ow, :]
+    if oh % h == 0 and ow % w == 0:
+        fy, fx = oh // h, ow // w
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, fy, w, fx, c))
+        return x.reshape(b, oh, ow, c)
     ys = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
     xs = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
     return x[:, ys][:, :, xs]

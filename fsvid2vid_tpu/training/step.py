@@ -198,11 +198,11 @@ def generate_images(cfg: Config, models: ModelBundle, params_G, aux_G,
 # loss assemblies
 # ----------------------------------------------------------------------
 
-def _g_losses(cfg: Config, models: ModelBundle, params_G, params_D, aux_G,
-              aux_D, vgg_params, batch, prevs, flags: StepFlags, rngs):
-    outputs, masks, refs, new_aux_G = generate_images(
-        cfg, models, params_G, aux_G, batch, prevs, flags, train=True,
-        rngs=rngs)
+def _g_losses(cfg: Config, models: ModelBundle, params_D, aux_D, vgg_params,
+              batch, prevs, flags: StepFlags, outputs, masks, refs):
+    """Generator-side losses as a function of the generated outputs (the
+    generation itself is linearized once in train_step and shared with the
+    discriminator phase)."""
     applies, _ = _applies_for_D(models, params_D, aux_D, train=True,
                                 collect_aux=False)
     applies["vgg"] = vgg_apply = _vgg_apply(models, vgg_params)
@@ -247,8 +247,7 @@ def _g_losses(cfg: Config, models: ModelBundle, params_G, params_D, aux_G,
         losses["G_KLD"] = kld_loss(outputs["mu"], outputs["logvar"]) * cfg.lambda_kld
 
     total = sum(losses.values())
-    aux = dict(new_aux_G=new_aux_G, outputs=outputs, losses=losses)
-    return total, aux
+    return total, dict(losses=losses)
 
 
 def _d_losses(cfg: Config, models: ModelBundle, params_D, aux_D, generated,
@@ -295,21 +294,40 @@ def _d_losses(cfg: Config, models: ModelBundle, params_D, aux_D, generated,
 # the step
 # ----------------------------------------------------------------------
 
+_DIFF_KEYS = ("fake_image", "fake_raw", "warped", "flow", "flow_mask",
+              "mu", "logvar")
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def train_step(cfg: Config, models: ModelBundle, state: TrainState, batch,
                prevs, flags: StepFlags, rng: Array):
     """D update, then G update, then prevs advance.  Returns
-    (new_state, new_prevs, losses dict)."""
+    (new_state, new_prevs, losses dict).
+
+    The generator forward runs ONCE per step: the reference generates twice
+    (no-grad for the D update, with grads for the G update,
+    vid2vid_model.py:108-110 + :130) on identical inputs — here the single
+    generation is linearized with jax.vjp, its detached outputs feed the D
+    update, and the G update pulls its output-cotangents back through the
+    saved linearization.  Bitwise the same losses, one full generator
+    forward cheaper."""
     opt_G_tx, opt_D_tx = make_optimizers(cfg)
     rngs = {"vae": rng} if cfg.use_kld else None
 
+    # ---- single generation, linearized wrt params_G ----
+    def gen_fn(params_G):
+        outputs, masks, refs, new_aux_G = generate_images(
+            cfg, models, params_G, state.aux_G, batch, prevs, flags,
+            train=True, rngs=rngs)
+        diff = {k: outputs[k] for k in _DIFF_KEYS}
+        return diff, (outputs, masks, refs, new_aux_G)
+    diff_out, gen_vjp, (outputs, masks, refs, gen_aux_G) = jax.vjp(
+        gen_fn, state.params_G, has_aux=True)
+
     # ---- discriminator step (no grads through G) ----
-    gen_out, masks, refs, _ = generate_images(
-        cfg, models, state.params_G, state.aux_G, batch, prevs, flags,
-        train=True, rngs=rngs)
     gen_det = jax.tree.map(
         lambda x: jax.lax.stop_gradient(x) if x is not None else None,
-        dict(fake_image=gen_out["fake_image"], fake_raw=gen_out["fake_raw"]),
+        dict(fake_image=diff_out["fake_image"], fake_raw=diff_out["fake_raw"]),
         is_leaf=lambda x: x is None)
 
     def d_loss_fn(params_D):
@@ -323,18 +341,18 @@ def train_step(cfg: Config, models: ModelBundle, state: TrainState, batch,
                  for k, v in state.aux_D.items()}
 
     # ---- generator step (D frozen at the just-updated params) ----
-    def g_loss_fn(params_G):
-        return _g_losses(cfg, models, params_G, new_params_D, state.aux_G,
-                         new_aux_D, state.vgg_params, batch, prevs, flags,
-                         rngs)
-    (g_total, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.params_G)
+    def g_loss_fn(diff):
+        outs = dict(outputs, **diff)
+        return _g_losses(cfg, models, new_params_D, new_aux_D,
+                         state.vgg_params, batch, prevs, flags, outs, masks,
+                         refs)
+    (g_total, g_aux), out_bar = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        diff_out)
+    (g_grads,) = gen_vjp(out_bar)
     g_updates, new_opt_G = opt_G_tx.update(g_grads, state.opt_G, state.params_G)
     new_params_G = optax.apply_updates(state.params_G, g_updates)
-    new_aux_G = {k: g_aux["new_aux_G"].get(k, v)
-                 for k, v in state.aux_G.items()}
+    new_aux_G = {k: gen_aux_G.get(k, v) for k, v in state.aux_G.items()}
 
-    outputs = g_aux["outputs"]
     new_prevs = advance_prevs(cfg, prevs, outputs["tgt_label_valid"],
                               batch["tgt_image"], outputs["fake_image"])
 

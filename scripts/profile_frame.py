@@ -49,13 +49,25 @@ def timeit(name, fn, labels_sets, overhead_s):
     float(run(labels_sets[0]))
     print(f"[compile {name}: {time.perf_counter() - t0:.1f}s]",
           file=sys.stderr, flush=True)
+    flops = byts = 0.0
+    try:
+        cost = jax.jit(run).lower(labels_sets[0]).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = cost.get("flops", 0.0) / K
+        byts = sum(v for kk, v in cost.items()
+                   if kk.startswith("bytes accessed")) / K
+    except Exception as e:  # cost analysis is best-effort on this backend
+        print(f"[cost_analysis failed: {e}]", file=sys.stderr, flush=True)
     best = float("inf")
     for s in labels_sets[1:1 + RUNS]:
         t0 = time.perf_counter()
         float(run(s))
         best = min(best, time.perf_counter() - t0)
     dt = (best - overhead_s) / K * 1000
-    print(f"{name:32s} {dt:8.2f} ms", flush=True)
+    print(f"{name:32s} {dt:8.2f} ms  {flops/1e9:7.1f} GF  {byts/1e9:6.2f} GB"
+          f"  (bw {byts/819e9*1e3:5.2f} ms, mxu {flops/197e12*1e3:5.2f} ms)",
+          flush=True)
     return dt
 
 
@@ -131,6 +143,21 @@ def main():
             return g._main_branch(cache["x_kld"], enc, gen, None, False)[0]
         return netG.apply(var_all, lbl, method=m, mutable=False)
 
+    def nosc_step(lbl):
+        """synthesize minus the two SC-embedder pyramids: modulate with the
+        label pyramid only (subtractive ablation for the glue cost)."""
+        def m(g, lb):
+            enc = g.label_embedding(
+                lb, weights=cache["embedding_weights"], train=False)
+            flow, fmask, warp, _ = g.flow_generation(
+                lb, ref_l, ref_i, prev_l, prev_i, None, True, False)
+            gen = dict(conv_weights=cache["conv_weights"],
+                       norm_weights=cache["norm_weights"])
+            img = g._main_branch(cache["x_kld"], enc, gen, None, False)[0]
+            img = img * fmask[0] + warp[0] * (1 - fmask[0])
+            return img * fmask[1] + warp[1] * (1 - fmask[1])
+        return netG.apply(var_all, lbl, method=m, mutable=False)
+
     # dispatch overhead: empty scan over the same label stack
     over_run = make_scan(lambda lbl: jnp.float32(0))
     float(over_run(labels_sets[0]))
@@ -147,6 +174,7 @@ def main():
         "flow2": ("flow_generation (both)", flow_both),
         "sc": ("spade-combine embed (one)", sc_embed_only),
         "main": ("main branch (+embed)", main_branch_only),
+        "nosc": ("synthesize minus sc embedders", nosc_step),
     }
     for key, (name, fn) in parts.items():
         if WHICH is None or key in WHICH:
