@@ -63,7 +63,14 @@ def discriminate(cfg: Config, apply_D: Callable, tgt_label, fake_image,
     if for_discriminator:
         return [gan_loss(pred_real, True, cfg.gan_mode, True),
                 gan_loss(pred_fake, False, cfg.gan_mode, True)]
-    loss_G = gan_loss(pred_fake, True, cfg.gan_mode, False)
+    # The reference calls criterionGAN(pred_fake, True) with the DEFAULT
+    # for_discriminator=True (loss_collector.py:66), so under hinge the
+    # generator loss is mean(relu(1 - x)) — the saturating discriminator-real
+    # hinge — NOT the SPADE-style -mean(x).  Verified against the torch
+    # reference step-for-step (scripts/convergence_check.py); gradients
+    # vanish for x > 1, which changes GAN dynamics, so parity requires
+    # reproducing the quirk.
+    loss_G = gan_loss(pred_fake, True, cfg.gan_mode, True)
     loss_feat = 0.0
     if not cfg.no_ganFeat_loss:
         loss_feat = feature_matching_loss(pred_real, pred_fake, cfg.lambda_feat)

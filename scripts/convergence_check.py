@@ -1,0 +1,256 @@
+"""GAN-dynamics convergence validation vs the torch reference (VERDICT r1 #4).
+
+Runs the SAME training — identical synthetic-but-structured batches, imported
+identical initial weights, same TTUR Adam hyperparameters — through
+
+  * the reference's real Vid2VidModel D/G alternation
+    (/root/reference/train.py:44-62, models/vid2vid_model.py:47-128), and
+  * our jitted train_step (fsvid2vid_tpu/training/step.py),
+
+and compares per-step loss trajectories.  Config: tiny face (ngf=4, 32px),
+fp32, no VGG (torchvision pretrained weights unavailable offline), no flow
+teacher on either side (--no_flow_gt; F_Warp/F_Mask still active).  Spectral
+u/v are burned in on the torch side before import so the reference's
+2-power-iterations-per-step vs our 1 does not dominate early drift.
+
+Usage: python scripts/convergence_check.py [STEPS] [OUT.json]
+Emits one JSON line per step with both loss dicts, then a summary.
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+OUT = sys.argv[2] if len(sys.argv) > 2 else "convergence.json"
+
+SIZE = 32
+BS = 2
+NGF = 4
+
+LOSS_KEYS = ["G_GAN", "G_GAN_Feat", "F_Warp", "F_Mask",
+             "D_real", "D_fake"]
+
+
+# ----------------------------------------------------------------------
+# synthetic structured data: smooth keypoint tracks -> edge label + RGB
+# ----------------------------------------------------------------------
+
+def _render_seq(seed, n_frames, size):
+    """One sequence: 68 keypoints moving smoothly; label = stamped edge
+    points (1ch), image = colored gaussian blobs at the same points (3ch).
+    Structured enough that warp/GAN losses see consistent motion."""
+    r = np.random.RandomState(seed)
+    base = r.rand(68, 2) * (size * 0.7) + size * 0.15
+    vel = (r.rand(68, 2) - 0.5) * 1.5
+    colors = r.rand(68, 3) * 2 - 1
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    labels, images = [], []
+    for t in range(n_frames):
+        pts = base + vel * t + 0.2 * np.sin(0.3 * t + np.arange(68))[:, None]
+        pts = np.clip(pts, 1, size - 2)
+        lab = np.zeros((size, size, 1), np.float32)
+        img = np.zeros((size, size, 3), np.float32)
+        for p, c in zip(pts, colors):
+            d2 = (yy - p[1]) ** 2 + (xx - p[0]) ** 2
+            g = np.exp(-d2 / 2.0)
+            lab[..., 0] = np.maximum(lab[..., 0], np.float32(g))
+            img += g[..., None] * c[None, None]
+        labels.append(lab * 2 - 1)
+        images.append(np.tanh(img))
+    return np.stack(labels), np.stack(images)
+
+
+def make_batches(n_steps, n_seq=8, n_frames=12):
+    seqs = [_render_seq(1000 + i, n_frames, SIZE) for i in range(n_seq)]
+    r = np.random.RandomState(7)
+    batches = []
+    for _ in range(n_steps):
+        tl, ti, rl, ri = [], [], [], []
+        for _ in range(BS):
+            s = r.randint(n_seq)
+            t = r.randint(1, n_frames)
+            labs, imgs = seqs[s]
+            tl.append(labs[t]); ti.append(imgs[t])
+            rl.append(labs[0]); ri.append(imgs[0])
+        batches.append(dict(
+            tgt_label=np.stack(tl), tgt_image=np.stack(ti),
+            ref_labels=np.stack(rl)[:, None], ref_images=np.stack(ri)[:, None]))
+    return batches
+
+
+# ----------------------------------------------------------------------
+# torch reference side
+# ----------------------------------------------------------------------
+
+def run_torch(batches, state_out):
+    sys.path.insert(0, "/root/repo/tests")
+    from reference_loader import load_reference_modules, make_reference_opt
+    load_reference_modules()
+    import torch
+    from models.vid2vid_model import Vid2VidModel
+    from models.loss_collector import loss_backward
+
+    opt = make_reference_opt(
+        ngf=NGF, nff=NGF, ndf=NGF, fineSize=SIZE, loadSize=SIZE,
+        n_blocks_F=2, n_downsample_G=3, n_adaptive_layers=2,
+        isTrain=True, no_vgg_loss=True, no_flow_gt=True,
+        gan_mode="hinge", lambda_feat=10.0, lambda_vgg=10.0,
+        lambda_flow=10.0, lambda_mask=10.0, lambda_temp=0.0,
+        lambda_face=10.0, lambda_kld=0.0,
+        lr=4e-4, beta1=0.5, beta2=0.999, no_TTUR=False,
+        amp="O0", distributed=False, continue_train=False,
+        load_pretrain="", n_frames_D=2, n_frames_per_gpu=1,
+        niter_single=1000, niter=1000, niter_decay=0, add_face_D=False,
+        refine_face=False, pose_type="both", remove_face_labels=False,
+        finetune=False, checkpoints_dir="/tmp/conv_ckpt", name="ref",
+        no_ganFeat_loss=False, print_G=False, print_D=False,
+        which_epoch="latest", beta=0.999, debug=True, no_html=True,
+        tf_log=False, use_visdom=False, display_winsize=SIZE, model_idx=0)
+    # base_model.py:45 passes beta1=0 (int); modern torch requires floats
+    _Adam = torch.optim.Adam
+
+    def adam_float_betas(params, lr, betas=(0.9, 0.999), **kw):
+        return _Adam(params, lr=lr,
+                     betas=(float(betas[0]), float(betas[1])), **kw)
+    torch.optim.Adam = adam_float_betas
+
+    torch.manual_seed(0)
+    model = Vid2VidModel()
+    model.initialize(opt, epoch=0)
+    model.lossCollector.tD = 1
+
+    # burn in spectral u/v so sigma estimates are converged before export
+    with torch.no_grad():
+        model.netG.train()
+        model.netD.train()
+        for i in range(30):
+            b = batches[i % len(batches)]
+            tl = torch.from_numpy(b["tgt_label"].transpose(0, 3, 1, 2))[:, None]
+            ti = torch.from_numpy(b["tgt_image"].transpose(0, 3, 1, 2))[:, None]
+            rl = torch.from_numpy(
+                b["ref_labels"].transpose(0, 1, 4, 2, 3))
+            ri = torch.from_numpy(
+                b["ref_images"].transpose(0, 1, 4, 2, 3))
+            model([tl, ti, [None] * 2, [None] * 2, rl, ri, None, None,
+                   None], mode="discriminator")
+
+    # our side pre-creates the temporal modules; materialize them on the
+    # torch side too so one state_dict covers the import (they are unused
+    # in the single-frame phase on both sides)
+    model.netG.init_temporal_network()
+    torch.save({"G": model.netG.state_dict(),
+                "D": model.netD.state_dict()}, state_out)
+
+    records = []
+    for b in batches:
+        tl = torch.from_numpy(b["tgt_label"].transpose(0, 3, 1, 2))[:, None]
+        ti = torch.from_numpy(b["tgt_image"].transpose(0, 3, 1, 2))[:, None]
+        rl = torch.from_numpy(b["ref_labels"].transpose(0, 1, 4, 2, 3))
+        ri = torch.from_numpy(b["ref_images"].transpose(0, 1, 4, 2, 3))
+        data_list = [tl, ti, [None] * 2, [None] * 2, rl, ri,
+                     None, None, None]
+        d_losses = model(data_list, mode="discriminator")
+        d_losses = loss_backward(opt, d_losses, model.optimizer_D, 1)
+        g_losses, _, _ = model(data_list, mode="generator")
+        g_losses = loss_backward(opt, g_losses, model.optimizer_G, 0)
+        names = model.lossCollector.loss_names
+        vals = dict(zip(names, [float(v.mean()) for v in
+                                list(g_losses) + list(d_losses)]))
+        records.append(vals)
+    return records
+
+
+# ----------------------------------------------------------------------
+# our side
+# ----------------------------------------------------------------------
+
+def run_ours(batches, state_in):
+    import torch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from fsvid2vid_tpu.config import face_config
+    from fsvid2vid_tpu.training.state import build_models, init_state
+    from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
+    from fsvid2vid_tpu.utils.torch_port import (
+        import_fewshot_generator, import_discriminator)
+
+    cfg = face_config(ngf=NGF, nff=NGF, ndf=NGF, fine_size=SIZE,
+                      load_size=SIZE, n_blocks_F=2, n_downsample_G=3,
+                      n_adaptive_layers=2, batch_size=BS, no_vgg_loss=True,
+                      compute_dtype="float32", is_train=True)
+    models = build_models(cfg)
+    b0 = batches[0]
+    sample = {k: jnp.asarray(v) for k, v in b0.items()}
+    sample.update(flow_gt=[None, None], conf_gt=[None, None])
+    state = init_state(cfg, models, jax.random.PRNGKey(0), sample)
+
+    sd = torch.load(state_in, weights_only=True)
+    vG = import_fewshot_generator(
+        jax.device_get({"params": state.params_G["G"], **state.aux_G["G"]}),
+        sd["G"], cfg)
+    vD = import_discriminator(
+        jax.device_get({"params": state.params_D["D"], **state.aux_D["D"]}),
+        sd["D"])
+    state = state.replace(
+        params_G=dict(state.params_G, G=vG["params"]),
+        aux_G=dict(state.aux_G,
+                   G={k: v for k, v in vG.items() if k != "params"}),
+        params_D=dict(state.params_D, D=vD["params"]),
+        aux_D=dict(state.aux_D,
+                   D={k: v for k, v in vD.items() if k != "params"}))
+
+    flags = StepFlags(warp_prev=False, has_prev=False)
+    prevs = init_prevs(cfg, sample)
+    records = []
+    for b in batches:
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        batch.update(flow_gt=[None, None], conf_gt=[None, None])
+        state, prevs, losses = train_step(cfg, models, state, batch, prevs,
+                                          flags, jax.random.PRNGKey(0))
+        records.append({k: float(v) for k, v in losses.items()})
+    return records
+
+
+def ema(xs, a=0.05):
+    out, m = [], xs[0]
+    for x in xs:
+        m = (1 - a) * m + a * x
+        out.append(m)
+    return out
+
+
+def main():
+    batches = make_batches(STEPS)
+    print(f"[data: {len(batches)} steps of bs{BS} {SIZE}px]", flush=True)
+    t_rec = run_torch(batches, "/tmp/convergence_init.pt")
+    print("[torch reference done]", flush=True)
+    j_rec = run_ours(batches, "/tmp/convergence_init.pt")
+    print("[ours done]", flush=True)
+
+    with open(OUT, "w") as f:
+        for i, (t, j) in enumerate(zip(t_rec, j_rec)):
+            f.write(json.dumps({"step": i, "torch": t, "ours": j}) + "\n")
+
+    print(f"{'loss':12s} {'step1 torch':>12s} {'step1 ours':>12s} "
+          f"{'emaN torch':>12s} {'emaN ours':>12s}")
+    ok = True
+    for k in LOSS_KEYS:
+        ts = [r[k] for r in t_rec]
+        js = [r[k] for r in j_rec]
+        e_t, e_j = ema(ts)[-1], ema(js)[-1]
+        print(f"{k:12s} {ts[0]:12.4f} {js[0]:12.4f} {e_t:12.4f} {e_j:12.4f}")
+        if abs(ts[0] - js[0]) > 0.02 * max(1.0, abs(ts[0])):
+            ok = False
+            print(f"  !! step-1 mismatch on {k}")
+    # hinge-GAN operating band: D losses stay bounded away from 0 and 2
+    d_band = ema([r["D_real"] + r["D_fake"] for r in j_rec])[-1]
+    print(f"D_real+D_fake EMA (ours): {d_band:.3f}")
+    print("CONVERGENCE", "OK" if ok else "MISMATCH")
+
+
+if __name__ == "__main__":
+    main()

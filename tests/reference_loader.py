@@ -30,6 +30,17 @@ def load_reference_modules():
     tv.models = tv_models
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.models", tv_models)
+    # util/html.py imports dominate at module scope; only needed when pages
+    # are actually written, so a skeleton module suffices
+    dom = types.ModuleType("dominate")
+    dom.document = lambda *a, **k: None
+    dom_tags = types.ModuleType("dominate.tags")
+    for t in ("meta", "h3", "table", "tr", "td", "p", "a", "img", "br",
+              "video", "source"):
+        setattr(dom_tags, t, lambda *a, **k: None)
+    dom.tags = dom_tags
+    sys.modules.setdefault("dominate", dom)
+    sys.modules.setdefault("dominate.tags", dom_tags)
     sys.path.insert(0, "/root/reference")
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.cuda.is_available = lambda: False
