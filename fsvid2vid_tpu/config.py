@@ -146,6 +146,9 @@ class Config:
 
     # ---- TPU-native additions (no reference equivalent) ----
     compute_dtype: str = "bfloat16"  # bf16 on MXU replaces apex AMP (models/models.py:22-26)
+    remat: bool = False  # jax.checkpoint the generator up blocks (activation
+    # memory ~halves, backward recomputes each block once); required for the
+    # pose 512x256 bs4+VGG config on a 16GB chip
     param_dtype: str = "float32"
     data_axis: str = "data"          # single data-parallel mesh axis (SURVEY §2.6)
     mesh_shape: Tuple[int, ...] = ()  # () => all visible devices on one DP axis
@@ -287,7 +290,7 @@ def pose_config(**kw) -> Config:
         label_nc=0, input_nc=6, aspect_ratio=0.5,
         adaptive_spade=True, warp_ref=True, spade_combine=True,
         remove_face_labels=True, add_face_D=True,
-        niter=100, niter_single=100,
+        niter=100, niter_single=100, remat=True,
     )
     base.update(kw)
     return Config(**base)

@@ -174,8 +174,15 @@ class FewShotGenerator(nn.Module):
             params_free_layers=(self.n_adaptive if self.adap_embed else 0))
 
         # --- main branch ---
+        # cfg.remat: rematerialize each up block in the backward pass
+        # (jax.checkpoint) — trades ~1 recompute of the block for not
+        # storing its full-res activations, the memory peak of training
+        # (cf. reference's lack of any equivalent; enables pose bs4 @512x256
+        # with VGG on a 16GB chip).  Param tree is unchanged.
+        block_cls = (nn.remat(SpadeResnetBlock, static_argnums=(5,))
+                     if cfg.remat else SpadeResnetBlock)
         self.up_blocks = [
-            SpadeResnetBlock(
+            block_cls(
                 ch[i + 1], ch[i], norm=norm, hidden_ncs=self.hidden_ncs(i),
                 conv_ks=cfg.conv_ks, spade_ks=cfg.spade_ks,
                 conv_params_free=(self.adap_conv and i < self.n_adaptive),
@@ -209,16 +216,24 @@ class FewShotGenerator(nn.Module):
         # The temporal branch is pre-created (gated by a call flag) instead of
         # the reference's mid-training architecture mutation
         # (init_temporal_network, generator.py:155-179).
+        # Under cfg.remat the full-res flow nets / SC embedders are also
+        # checkpointed — with the up blocks these are the activation-memory
+        # peaks of the training backward (train arg is static: FlowGenerator
+        # __call__ idx 4, LabelEmbedder idx 3).
+        flow_cls = (nn.remat(FlowGenerator, static_argnums=(4,))
+                    if cfg.remat else FlowGenerator)
+        embed_cls = (nn.remat(LabelEmbedder, static_argnums=(3,))
+                     if cfg.remat else LabelEmbedder)
         if self.warp_ref:
-            self.flow_network_ref = FlowGenerator(cfg, 2)
+            self.flow_network_ref = flow_cls(cfg, 2)
             if cfg.spade_combine:
-                self.img_ref_embedding = LabelEmbedder(
+                self.img_ref_embedding = embed_cls(
                     arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd)
         if not self.for_face and cfg.n_frames_G > 1:
             if not self.cfg.flow_temp_is_shared:
-                self.flow_network_temp = FlowGenerator(cfg, cfg.n_frames_G)
+                self.flow_network_temp = flow_cls(cfg, cfg.n_frames_G)
             if cfg.spade_combine and not cfg.prev_embedding_is_shared:
-                self.img_prev_embedding = LabelEmbedder(
+                self.img_prev_embedding = embed_cls(
                     arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd)
 
     # ------------------------------------------------------------------
@@ -505,7 +520,7 @@ class FewShotGenerator(nn.Module):
             flow2, mask2 = self.flow_network_ref(
                 jnp.concatenate([label, label], 0),
                 jnp.concatenate([label_ref, prev_label], 0),
-                jnp.concatenate([img_ref, prev_img], 0), train=False)
+                jnp.concatenate([img_ref, prev_img], 0), False)
             warp2 = flow_warp(
                 jnp.concatenate([img_ref[..., :3], prev_img[..., -3:]], 0),
                 flow2)
@@ -515,7 +530,7 @@ class FewShotGenerator(nn.Module):
         else:
             if self.warp_ref:
                 flow_ref, mask_ref = self.flow_network_ref(
-                    label, label_ref, img_ref, train=train)
+                    label, label_ref, img_ref, train)
                 img_ref_warp = flow_warp(img_ref, flow_ref)
                 flow[0], flow_mask[0] = flow_ref, mask_ref
                 img_warp[0] = img_ref_warp[..., :3]
@@ -524,7 +539,7 @@ class FewShotGenerator(nn.Module):
                             if self.cfg.flow_temp_is_shared
                             else self.flow_network_temp)
                 flow_prev, mask_prev = flow_net(
-                    label, prev_label, prev_img, train=train)
+                    label, prev_label, prev_img, train)
                 img_prev_warp = flow_warp(prev_img[..., -3:], flow_prev)
                 flow[1], flow_mask[1], img_warp[1] = (flow_prev, mask_prev,
                                                       img_prev_warp)
@@ -540,13 +555,13 @@ class FewShotGenerator(nn.Module):
         (generator.py:448-454)."""
         if not self.cfg.spade_combine:
             return encoded_label
-        enc_ref = (self.img_ref_embedding(ds_ref[0], train=train)
+        enc_ref = (self.img_ref_embedding(ds_ref[0], None, train)
                    if ds_ref[0] is not None else None)
         if ds_ref[1] is not None:
             prev_embed = (self.img_ref_embedding
                           if self.cfg.prev_embedding_is_shared
                           else self.img_prev_embedding)
-            enc_prev = prev_embed(ds_ref[1], train=train)
+            enc_prev = prev_embed(ds_ref[1], None, train)
         else:
             enc_prev = None
         out = list(encoded_label)
@@ -571,13 +586,11 @@ class FewShotGenerator(nn.Module):
             if add_raw and i < cfg.n_sc_layers:
                 if i == cfg.n_sc_layers - 1:
                     x_raw = x
-                x_raw = self.up_blocks[i](x_raw, raw_label[i],
-                                          conv_weights=cw, norm_weights=nw,
-                                          train=train)
+                x_raw = self.up_blocks[i](x_raw, raw_label[i], cw, nw,
+                                          train)
                 if i != 0:
                     x_raw = upsample_nearest(x_raw)
-            x = self.up_blocks[i](x, encoded_label[i],
-                                  conv_weights=cw, norm_weights=nw, train=train)
+            x = self.up_blocks[i](x, encoded_label[i], cw, nw, train)
             if i != 0:
                 x = upsample_nearest(x)
         img = jnp.tanh(self.conv_img(leaky_relu(x)))
@@ -647,8 +660,7 @@ class FewShotGenerator(nn.Module):
         for i in range(self.nd, -1, -1):
             nw = (gen["norm_weights"][i]
                   if self.adap_spade and i < self.n_adaptive else None)
-            x = self.up_blocks[i](x, encoded_label[i], norm_weights=nw,
-                                  train=train)
+            x = self.up_blocks[i](x, encoded_label[i], None, nw, train)
             if i != 0:
                 x = upsample_nearest(x)
         return jnp.tanh(self.conv_img(leaky_relu(x)))

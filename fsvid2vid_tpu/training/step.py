@@ -113,12 +113,14 @@ def _applies_for_D(models: ModelBundle, params_D, aux_D, train: bool,
     return applies, new_aux
 
 
-def _vgg_apply(models: ModelBundle, vgg_params):
+def _vgg_apply(models: ModelBundle, vgg_params, remat: bool = False):
     if models.vgg is None or vgg_params is None:
         return None
     def apply_fn(x):
         return models.vgg.apply({"params": vgg_params}, x)
-    return apply_fn
+    # frozen feature net: recomputing its activations in the backward is
+    # nearly free relative to holding ~10 full-res feature maps
+    return jax.checkpoint(apply_fn) if remat else apply_fn
 
 
 def generate_images(cfg: Config, models: ModelBundle, params_G, aux_G,
@@ -205,7 +207,7 @@ def _g_losses(cfg: Config, models: ModelBundle, params_D, aux_D, vgg_params,
     discriminator phase)."""
     applies, _ = _applies_for_D(models, params_D, aux_D, train=True,
                                 collect_aux=False)
-    applies["vgg"] = vgg_apply = _vgg_apply(models, vgg_params)
+    applies["vgg"] = vgg_apply = _vgg_apply(models, vgg_params, cfg.remat)
 
     tgt_label, tgt_image = batch["tgt_label"], batch["tgt_image"]
     fake_image, fake_raw = outputs["fake_image"], outputs["fake_raw"]

@@ -30,6 +30,10 @@ def make_cfg():
         # refiner + 6ch maps at H=512,W=256 (scripts/pose/train_g8.sh)
         return pose_config(batch_size=BS, fine_size=256, load_size=256,
                            refine_face=True, compute_dtype="bfloat16")
+    if WHICH == "face_novgg":
+        # round-1 comparison point (BASELINE.md measured no-VGG fp32/bf16)
+        return face_config(batch_size=BS, fine_size=256, load_size=256,
+                           no_vgg_loss=True, compute_dtype="bfloat16")
     if WHICH == "face512":
         return face_config(batch_size=BS, fine_size=512, load_size=512,
                            num_D=2, compute_dtype="bfloat16")
@@ -66,20 +70,27 @@ def main():
     print(f"[init: {time.perf_counter() - t0:.1f}s]", file=sys.stderr,
           flush=True)
     prevs0 = init_prevs(cfg, batch0)
+    if cfg.compute_dtype == "bfloat16":
+        # advance_prevs carries bf16 label/fake in steady state
+        prevs0 = dict(prevs0,
+                      label=prevs0["label"].astype(jnp.bfloat16),
+                      fake=prevs0["fake"].astype(jnp.bfloat16))
     flags = StepFlags(warp_prev=True, has_prev=True)
-    # prevs need matching dtype/content; run one step outside timing later
+
+    ARRAY_KEYS = ("tgt_label", "tgt_image", "ref_labels", "ref_images")
 
     def stack_batches(lo):
-        return jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[batch_of(100 * lo + i) for i in range(K)],
-            is_leaf=lambda x: x is None)
+        bs = [batch_of(100 * lo + i) for i in range(K)]
+        return {k: jnp.stack([b[k] for b in bs]) for k in ARRAY_KEYS}
 
     def body(carry, batch):
         st, pv = carry
-        st, pv, losses = train_step(cfg, models, st, batch, pv, flags,
-                                    jax.random.PRNGKey(0))
-        return (st, pv), losses["G_total"]
+        batch = dict(batch, flow_gt=[None, None], conf_gt=[None, None])
+        st, pv2, losses = train_step(cfg, models, st, batch, pv, flags,
+                                     jax.random.PRNGKey(0))
+        # keep the carry dtype stable across configs (refiner paths emit f32)
+        pv2 = {k: v.astype(pv[k].dtype) for k, v in pv2.items()}
+        return (st, pv2), losses["G_total"]
 
     @jax.jit
     def run(st, pv, batches):

@@ -63,6 +63,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--no_TTUR", action="store_true")
     p.add_argument("--no_vgg_loss", action="store_true")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize generator up blocks in the backward "
+                        "(halves activation memory; pose default)")
     p.add_argument("--no_flow_gt", action="store_true")
     p.add_argument("--lambda_temp", type=float, default=None)
     # runtime
