@@ -153,6 +153,8 @@ class Config:
     data_axis: str = "data"          # single data-parallel mesh axis (SURVEY §2.6)
     mesh_shape: Tuple[int, ...] = ()  # () => all visible devices on one DP axis
     use_pallas: bool = True          # pallas kernels for warp/cost-volume hot ops
+    spd_inference: bool = True       # space-to-depth layout for small-channel
+    # full-res conv stages at eval (ops/spd.py) — exact math, 128-lane packing
     flow_teacher: str = "flownet2"   # 'flownet2' | 'none'
     debug: bool = False
 

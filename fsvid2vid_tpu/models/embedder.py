@@ -7,6 +7,11 @@ for the first `params_free_layers` up-layers of the decoder — externally
 generated per-sample conv weights applied with `batch_conv`
 (generator.py:541-569; weights target the UP path because the down path always
 uses owned params when a decoder is present, generator.py:529-530).
+
+TPU note: with `spd_inference` the two finest levels run in space-to-depth
+layout at eval (ops/spd.py — exact math, 128-lane packing for the
+small-channel full-res convs); outputs are converted back so consumers see
+normal NHWC maps.
 """
 from __future__ import annotations
 
@@ -17,7 +22,9 @@ from flax import linen as nn
 
 from fsvid2vid_tpu.ops.batch_conv import batch_conv
 from fsvid2vid_tpu.ops.image_ops import leaky_relu, upsample_nearest
-from fsvid2vid_tpu.models.layers import xavier_normal_init
+from fsvid2vid_tpu.ops.spd import (
+    depth_to_space, space_to_depth, spd_concat, spd_upsample_enter)
+from fsvid2vid_tpu.models.layers import SNConv, xavier_normal_init
 
 
 def channel_schedule(nf: int, n: int, nf_max: int = 1024):
@@ -31,6 +38,7 @@ class LabelEmbedder(nn.Module):
     n_downsample: int = 5
     params_free_layers: int = 0
     first_layer_free: bool = False
+    spd_inference: bool = False    # eval-time space-to-depth for levels 0-1
 
     @property
     def unet(self):
@@ -50,19 +58,30 @@ class LabelEmbedder(nn.Module):
         ch = channel_schedule(self.nf, self.n_downsample)
         nd = self.n_downsample
 
-        def conv(f, name, stride=1):
-            return nn.Conv(f, (3, 3), strides=(stride, stride), padding=1,
-                           kernel_init=xavier_normal_init(), name=name)
+        def conv(f, name):
+            # SNConv(use_sn=False) == the reference's plain conv; identical
+            # (kernel, bias) param layout, plus the spd apply modes
+            return SNConv(f, 3, use_sn=False,
+                          kernel_init=xavier_normal_init(), name=name)
+
+        use_spd = (self.spd_inference and not train and weights is None
+                   and not self.first_layer_free and nd >= 2
+                   and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
+        if use_spd:
+            return self._spd_forward(x, ch, nd, train)
 
         if self.first_layer_free:
             out = [leaky_relu(batch_conv(x, weights[0][0], weights[0][1]))]
             weights = weights[1:]
         else:
-            out = [leaky_relu(conv(self.nf, "conv_first")(x))]
+            out = [leaky_relu(conv(self.nf, "conv_first")(x, train))]
 
         for i in range(nd):
             if i >= self.params_free_layers or self.decode:
-                h = leaky_relu(conv(ch[i + 1], f"down_{i}", stride=2)(out[-1]))
+                h = leaky_relu(
+                    SNConv(ch[i + 1], 3, 2, use_sn=False,
+                           kernel_init=xavier_normal_init(),
+                           name=f"down_{i}")(out[-1], train))
             else:
                 h = leaky_relu(batch_conv(out[-1], weights[i][0],
                                           weights[i][1], stride=2))
@@ -78,7 +97,8 @@ class LabelEmbedder(nn.Module):
             if self.unet and i != nd - 1:
                 h = jnp.concatenate([h, out[i + 1]], axis=-1)
             if i >= self.params_free_layers:
-                h = leaky_relu(conv(ch[i], f"up_{i}")(upsample_nearest(h)))
+                h = leaky_relu(conv(ch[i], f"up_{i}")(upsample_nearest(h),
+                                                      train))
             else:
                 h = upsample_nearest(h)
                 h = leaky_relu(batch_conv(h, weights[i][0], weights[i][1]))
@@ -86,3 +106,45 @@ class LabelEmbedder(nn.Module):
         if self.unet:
             out = out[nd:]
         return out[::-1]
+
+    def _spd_forward(self, x, ch, nd, train):
+        """Space-to-depth eval path: identical math to the plain path with
+        levels 0 and 1 phase-packed.  Owned-weight convs only."""
+        def conv_s(f, name, stride=1):
+            return SNConv(f, 3, stride, use_sn=False,
+                          kernel_init=xavier_normal_init(), name=name)
+
+        std0 = leaky_relu(conv_s(self.nf, "conv_first")(
+            space_to_depth(x), train, spd="s1"))
+        std1 = leaky_relu(conv_s(ch[1], "down_0")(std0, train, spd="s2"))
+        down = [std0, std1]
+        h = leaky_relu(conv_s(ch[2], "down_1")(std1, train, spd="s2_exit"))
+        down.append(h)
+        for i in range(2, nd):
+            h = leaky_relu(conv_s(ch[i + 1], f"down_{i}", stride=2)(h, train))
+            down.append(h)
+
+        if not self.decode:
+            return ([depth_to_space(down[0]), depth_to_space(down[1])]
+                    + down[2:])
+
+        dec = {}
+        h = down[nd]
+        for i in reversed(range(2, nd)):
+            if self.unet and i != nd - 1:
+                h = jnp.concatenate([h, down[i + 1]], axis=-1)
+            h = leaky_relu(conv_s(ch[i], f"up_{i}")(upsample_nearest(h), train))
+            dec[i] = h
+        # level 1: (maybe concat skip) -> upsample -> conv, all phase-packed
+        if self.unet and nd > 2:
+            h = jnp.concatenate([h, down[2]], axis=-1)
+        u1 = leaky_relu(conv_s(ch[1], "up_1")(
+            spd_upsample_enter(h), train, spd="s1"))
+        # level 0
+        h0 = spd_concat(u1, std1) if self.unet else u1
+        u0 = leaky_relu(conv_s(ch[0], "up_0")(
+            spd_upsample_enter(depth_to_space(h0)), train, spd="s1"))
+        out = [depth_to_space(u0), depth_to_space(u1)]
+        out += [dec[i] for i in range(2, nd)]
+        out.append(down[nd])
+        return out

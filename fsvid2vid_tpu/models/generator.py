@@ -228,13 +228,15 @@ class FewShotGenerator(nn.Module):
             self.flow_network_ref = flow_cls(cfg, 2)
             if cfg.spade_combine:
                 self.img_ref_embedding = embed_cls(
-                    arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd)
+                    arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd,
+                    spd_inference=cfg.spd_inference)
         if not self.for_face and cfg.n_frames_G > 1:
             if not self.cfg.flow_temp_is_shared:
                 self.flow_network_temp = flow_cls(cfg, cfg.n_frames_G)
             if cfg.spade_combine and not cfg.prev_embedding_is_shared:
                 self.img_prev_embedding = embed_cls(
-                    arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd)
+                    arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd,
+                    spd_inference=cfg.spd_inference)
 
     # ------------------------------------------------------------------
     # attention (generator.py:291-316)

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from fsvid2vid_tpu.ops.batch_conv import batch_conv
 from fsvid2vid_tpu.ops.image_ops import leaky_relu, resize_nearest, avg_pool
+from fsvid2vid_tpu.ops.spd import spd_conv, spd_tile_channel
 from fsvid2vid_tpu.ops.spectral_norm import (
     spectral_normalize, conv_kernel_matrix, dense_kernel_matrix)
 
@@ -56,9 +57,13 @@ class SNConv(nn.Module):
     kernel_init: Callable = xavier_normal_init()
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, spd: Optional[str] = None):
+        """spd: None for the normal path, or an ops.spd conv mode
+        ('s1'|'s2'|'s2_exit') — x is then in space-to-depth layout and the
+        stored (k,k,cin,cout) kernel is scattered into its STD equivalent
+        (ops/spd.py; inference-only TPU lane-packing optimization)."""
         k = self.kernel_size
-        cin = x.shape[-1]
+        cin = x.shape[-1] // (4 if spd else 1)
         kernel = self.param("kernel", self.kernel_init, (k, k, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
@@ -79,6 +84,14 @@ class SNConv(nn.Module):
                 u.value, v.value = nu, nv
             kernel = kernel / sigma.astype(kernel.dtype)
 
+        if spd is not None:
+            assert k == 3 and (k // 2 if self.padding is None
+                               else self.padding) == 1
+            y = spd_conv(x, kernel, spd)
+            if bias is not None:
+                b_ = bias if spd == "s2_exit" else spd_tile_channel(bias)
+                y = y + b_.astype(y.dtype)
+            return y
         pad = k // 2 if self.padding is None else self.padding
         # no explicit preferred_element_type: TPU accumulates bf16 convs in
         # f32 inside the MXU regardless, and a widened primal output breaks
@@ -138,11 +151,25 @@ class SyncBatchNorm(nn.Module):
     momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, spd: bool = False):
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda *_: jnp.zeros(self.features), None)
         ra_var = self.variable("batch_stats", "var",
                                lambda *_: jnp.ones(self.features), None)
+        if spd:
+            # space-to-depth layout, eval only: running stats + affine are
+            # per-ORIGINAL-channel, tiled over the 4 phase blocks
+            assert not train
+            mean = spd_tile_channel(ra_mean.value)
+            var = spd_tile_channel(ra_var.value)
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+            if self.affine:
+                scale = self.param(
+                    "scale", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s),
+                    (self.features,))
+                b = self.param("bias", nn.initializers.zeros, (self.features,))
+                y = y * spd_tile_channel(scale) + spd_tile_channel(b)
+            return y.astype(x.dtype)
         if train:
             x32 = x.astype(jnp.float32)
             mean = x32.mean((0, 1, 2))

@@ -25,6 +25,7 @@ from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
 
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WHICH = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 1  # parallel streams
 K = 10          # scan iterations per program
 RUNS = 3        # timed program dispatches (min taken)
 
@@ -51,7 +52,7 @@ def timeit(name, fn, labels_sets, overhead_s):
           file=sys.stderr, flush=True)
     flops = byts = 0.0
     try:
-        cost = jax.jit(run).lower(labels_sets[0]).compile().cost_analysis()
+        cost = run.lower(labels_sets[0]).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = cost.get("flops", 0.0) / K
@@ -73,20 +74,20 @@ def timeit(name, fn, labels_sets, overhead_s):
 
 def main():
     enable_compilation_cache()
-    cfg = face_config(batch_size=1, is_train=False, fine_size=SIZE,
+    cfg = face_config(batch_size=B, is_train=False, fine_size=SIZE,
                       load_size=SIZE)
     models = build_models(cfg)
     netG = models.netG
     h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
 
     rng = np.random.RandomState(0)
-    label = jnp.asarray(rng.randn(1, h, w, cl).astype(np.float32))
-    ref_l = jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32))
-    ref_i = jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32))
+    label = jnp.asarray(rng.randn(B, h, w, cl).astype(np.float32))
+    ref_l = jnp.asarray(rng.randn(B, 1, h, w, cl).astype(np.float32))
+    ref_i = jnp.asarray(np.tanh(rng.randn(B, 1, h, w, 3)).astype(np.float32))
     n_prev = cfg.n_frames_G - 1
-    prev_l = jnp.asarray(rng.randn(1, h, w, cl * n_prev).astype(np.float32))
+    prev_l = jnp.asarray(rng.randn(B, h, w, cl * n_prev).astype(np.float32))
     prev_i = jnp.asarray(
-        np.tanh(rng.randn(1, h, w, 3 * n_prev)).astype(np.float32))
+        np.tanh(rng.randn(B, h, w, 3 * n_prev)).astype(np.float32))
     variables = jax.jit(lambda k: netG.init(
         k, label, ref_l, ref_i, prev_l, prev_i, warp_prev=True,
         train=False))(jax.random.PRNGKey(0))
@@ -97,7 +98,7 @@ def main():
         (label, ref_l, ref_i, prev_l, prev_i), jnp.bfloat16)
     labels_sets = [
         cast_floating(jnp.asarray(
-            rng.randn(K, 1, h, w, cl).astype(np.float32)), jnp.bfloat16)
+            rng.randn(K, B, h, w, cl).astype(np.float32)), jnp.bfloat16)
         for _ in range(RUNS + 1)]
 
     cache = jax.jit(lambda rl, ri, lb: netG.apply(
@@ -165,7 +166,7 @@ def main():
     print(f"[dispatch overhead: {overhead * 1000:.1f} ms]", file=sys.stderr,
           flush=True)
 
-    print(f"=== {SIZE}px frame-step ablation, bf16, "
+    print(f"=== {SIZE}px B={B} frame-step ablation, bf16, "
           f"{jax.devices()[0].device_kind}, K={K} ===", flush=True)
     parts = {
         "full": ("full synthesize step", full_step),

@@ -1,0 +1,82 @@
+"""Space-to-depth conv reformulation parity (ops/spd.py).
+
+The STD path must be bit-equivalent (up to float reassociation) to the plain
+NHWC convs it replaces — it is a pure TPU lane-packing layout change."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fsvid2vid_tpu.config import face_config
+from fsvid2vid_tpu.models.flow_generator import FlowGenerator
+from fsvid2vid_tpu.ops.spd import (
+    depth_to_space, space_to_depth, spd_conv, spd_upsample_enter)
+
+
+def conv(x, k, s):
+    return lax.conv_general_dilated(
+        x, k, (s, s), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class TestSpdOps:
+    @pytest.fixture()
+    def data(self, rng):
+        x = jnp.asarray(rng.randn(2, 16, 20, 5).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+        return x, k
+
+    def test_roundtrip(self, data):
+        x, _ = data
+        np.testing.assert_array_equal(
+            np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
+
+    def test_s1(self, data):
+        x, k = data
+        got = depth_to_space(spd_conv(space_to_depth(x), k, "s1"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(conv(x, k, 1)),
+                                   atol=1e-5)
+
+    def test_s2_std_out(self, data):
+        x, k = data
+        got = depth_to_space(spd_conv(space_to_depth(x), k, "s2"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(conv(x, k, 2)),
+                                   atol=1e-5)
+
+    def test_s2_exit(self, data):
+        x, k = data
+        got = spd_conv(space_to_depth(x), k, "s2_exit")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(conv(x, k, 2)),
+                                   atol=1e-5)
+
+    def test_upsample_enter(self, data):
+        x, k = data
+        up = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+        got = depth_to_space(spd_conv(spd_upsample_enter(x), k, "s1"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(conv(up, k, 1)),
+                                   atol=1e-5)
+
+
+class TestFlowGeneratorSpd:
+    def test_eval_path_matches_plain(self, rng):
+        cfg = face_config(nff=8, n_blocks_F=2, is_train=False)
+        net = FlowGenerator(cfg, 2)
+        H = W = 64
+        label = jnp.asarray(rng.randn(2, H, W, 1).astype(np.float32))
+        pl_ = jnp.asarray(rng.randn(2, H, W, 1).astype(np.float32))
+        pi = jnp.asarray(np.tanh(rng.randn(2, H, W, 3)).astype(np.float32))
+        variables = net.init(jax.random.PRNGKey(0), label, pl_, pi, train=True)
+        # push running stats off their init values
+        _, mut = net.apply(variables, label, pl_, pi, train=True,
+                           mutable=["batch_stats", "spectral"])
+        variables = {**variables, **mut}
+
+        f1, m1 = net.apply(variables, label, pl_, pi, train=False,
+                           mutable=False)
+        plain = FlowGenerator(cfg.replace(spd_inference=False), 2)
+        f2, m2 = plain.apply(variables, label, pl_, pi, train=False,
+                             mutable=False)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
