@@ -134,7 +134,7 @@ def bench_torch_reference():
     label = torch.randn(1, 1, h, w)
     ref_l = torch.randn(1, 1, 1, h, w)
     ref_i = torch.tanh(torch.randn(1, 1, 3, h, w))
-    n_frames = 3
+    n_frames = 10
     with torch.no_grad():
         netG(label, ref_l, ref_i, [None, None], t=0)  # warmup + weight cache
         t0 = time.perf_counter()
