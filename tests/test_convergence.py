@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
                        / "scripts"))
 import convergence_check as cc

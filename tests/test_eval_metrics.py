@@ -127,6 +127,7 @@ class TestFid:
 
 
 class TestEvalCli:
+    @pytest.mark.slow
     def test_end_to_end(self, tmp_path, rng):
         from PIL import Image
         real = tmp_path / "real"
@@ -145,7 +146,7 @@ class TestEvalCli:
             [sys.executable, os.path.join(os.path.dirname(__file__), "..",
                                           "eval.py"),
              "--real_dir", str(real), "--fake_dir", str(fake), "--batch", "3"],
-            capture_output=True, text=True, env=env, timeout=600)
+            capture_output=True, text=True, env=env, timeout=1800)
         assert out.returncode == 0, out.stderr
         res = json.loads(out.stdout.strip().splitlines()[-1])
         assert res["n_frames"] == 6

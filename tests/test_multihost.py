@@ -18,6 +18,8 @@ import textwrap
 
 import pytest
 
+
+pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = textwrap.dedent("""

@@ -27,6 +27,8 @@ from fsvid2vid_tpu.models.generator import FewShotGenerator
 from fsvid2vid_tpu.utils.torch_port import import_fewshot_generator
 
 
+
+pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
 def build_pair(opt, cfg, seed=0):
     load_reference_modules()
     from models.networks.generator import FewShotGenerator as TorchG
