@@ -114,6 +114,11 @@ class Config:
     no_vgg_loss: bool = False
     no_TTUR: bool = False
 
+    # fake-image replay pool for the D update (train_options/ImagePool;
+    # the reference hard-codes ImagePool(0) — never queried — at
+    # loss_collector.py:31, so 0 reproduces it; >0 enables a real pool)
+    pool_size: int = 0
+
     # ---- optimizer (base_options.py:119-124) ----
     lr: float = 4e-4
     beta1: float = 0.5
@@ -137,6 +142,9 @@ class Config:
     # ---- inference (test_options.py, base_options.py:126) ----
     finetune: bool = False
     finetune_iters: int = 100        # vid2vid_model.py:218
+    # start training from a pretrained checkpoint directory
+    # (train_options.py:16 --load_pretrain; base_model.py:57-66)
+    load_pretrain: str = ""
     seq_path: str = ""
     ref_img_path: str = ""
     ref_img_id: str = "0"

@@ -43,22 +43,29 @@ def save(cfg: Config, state: TrainState, epoch: int, epoch_iter: int = 0,
 
 
 def save_epoch(cfg: Config, state: TrainState, epoch: int) -> None:
-    """latest + per-epoch snapshot (models/models.py:48-62)."""
-    save(cfg, state, epoch, label="latest")
+    """latest + per-epoch snapshot.  The cursor records (epoch+1, 0) — the
+    epoch is COMPLETE, resume starts the next one (models/models.py:61
+    `np.savetxt(iter_path, (epoch+1, 0))`)."""
+    save(cfg, state, epoch + 1, epoch_iter=0, label="latest")
     if cfg.save_epoch_freq and epoch % cfg.save_epoch_freq == 0:
-        save(cfg, state, epoch, label=f"epoch_{epoch}")
+        save(cfg, state, epoch + 1, epoch_iter=0, label=f"epoch_{epoch}")
 
 
-def restore(cfg: Config, template: TrainState,
-            label: str = "latest") -> Tuple[Optional[TrainState], int, int]:
+def restore(cfg: Config, template: TrainState, label: str = "latest",
+            base_dir: Optional[str] = None,
+            ) -> Tuple[Optional[TrainState], int, int]:
     """Returns (state, epoch, epoch_iter); (None, 1, 0) if no checkpoint.
 
     Restore is structural-subset tolerant in both directions (mirroring the
     reference's layered partial-load fallbacks, base_model.py:68-93): stored
     trees may contain networks the current phase doesn't build (e.g. loading
     a train checkpoint for inference drops the discriminators), and template
-    leaves missing from the checkpoint keep their initialized values."""
-    path = os.path.join(ckpt_dir(cfg), label)
+    leaves missing from the checkpoint keep their initialized values.
+
+    `base_dir` overrides the checkpoint directory — used by --load_pretrain
+    (train_options.py:16, base_model.py:57-66) to warm-start from another
+    experiment's weights."""
+    path = os.path.join(base_dir or ckpt_dir(cfg), label)
     if not os.path.exists(path):
         return None, 1, 0
     stored = _checkpointer().restore(path)

@@ -41,6 +41,8 @@ Array = jnp.ndarray
 class StepFlags:
     warp_prev: bool = False   # temporal phase (epoch > niter_single)
     has_prev: bool = False    # prevs populated (t > 0)
+    use_pool: bool = False    # D sees replay-pool fakes (cfg.pool_size > 0);
+    # batch must then carry pool_fake (B,H,W,3) + pool_mask (B,1,1,1) bool
 
     @property
     def temporal_active(self) -> bool:
@@ -331,6 +333,12 @@ def train_step(cfg: Config, models: ModelBundle, state: TrainState, batch,
         lambda x: jax.lax.stop_gradient(x) if x is not None else None,
         dict(fake_image=diff_out["fake_image"], fake_raw=diff_out["fake_raw"]),
         is_leaf=lambda x: x is None)
+    if flags.use_pool:
+        # fake-image replay pool: per-sample swap of the current fake with a
+        # stored one (classic GAN pool; Trainer owns the host-side buffer).
+        gen_det["fake_image"] = jnp.where(
+            batch["pool_mask"], batch["pool_fake"].astype(
+                gen_det["fake_image"].dtype), gen_det["fake_image"])
 
     def d_loss_fn(params_D):
         return _d_losses(cfg, models, params_D, state.aux_D, gen_det, batch,
@@ -365,4 +373,15 @@ def train_step(cfg: Config, models: ModelBundle, state: TrainState, batch,
         opt_G=new_opt_G, opt_D=new_opt_D)
     losses = {**g_aux["losses"], **d_aux["losses"],
               "G_total": g_total, "D_total": d_total}
-    return new_state, new_prevs, losses
+    # visual dict for display_freq image dumps (reference models/trainer.py
+    # :96-111 save_all_tensors).  Arrays already live in the program; callers
+    # fetch them to host only on display steps, so non-display steps pay
+    # nothing beyond the extra program outputs.
+    visuals = jax.tree.map(
+        jax.lax.stop_gradient,
+        dict(tgt_label=batch["tgt_label"], tgt_image=batch["tgt_image"],
+             ref_label=refs["label"], ref_image=refs["image"],
+             fake_image=outputs["fake_image"], fake_raw=outputs["fake_raw"],
+             warped=outputs["warped"], flow=outputs["flow"],
+             flow_mask=outputs["flow_mask"]))
+    return new_state, new_prevs, losses, visuals

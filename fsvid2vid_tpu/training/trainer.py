@@ -62,10 +62,11 @@ def copy_temporal_params(cfg: Config, state: TrainState) -> TrainState:
 
 class Trainer:
     def __init__(self, cfg: Config, models: Optional[ModelBundle] = None,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print, visualizer=None):
         self.cfg = cfg
         self.models = models or build_models(cfg)
         self.log = log_fn
+        self.vis = visualizer  # utils.visualizer.Visualizer or None
         # DP mesh over the largest device count that divides the local batch
         n_dev = jax.device_count()
         local_batch = max(1, cfg.batch_size // max(jax.process_count(), 1))
@@ -75,7 +76,12 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.epoch_iter = 0
+        self.global_step = 0  # TB curve x-axis (survives resume via cursor)
         self._temporal_initialized = False
+        self.pool = None
+        if cfg.pool_size > 0:
+            from fsvid2vid_tpu.utils.image_pool import ImagePool
+            self.pool = ImagePool(cfg.pool_size, seed=cfg.seed)
 
     # ------------------------------------------------------------------
     def setup(self, sample_batch: Dict[str, jnp.ndarray],
@@ -87,6 +93,21 @@ class Trainer:
             self.state = restored
             self.start_epoch, self.epoch_iter = epoch, it
             self.log(f"resumed from epoch {epoch} iter {it}")
+        elif self.cfg.load_pretrain:
+            # --load_pretrain: warm-start the network weights (and norm/
+            # spectral collections) from another experiment's checkpoint dir;
+            # optimizers and the schedule start fresh (train_options.py:16,
+            # base_model.py:57-66).
+            pre, _, _ = ckpt_lib.restore(self.cfg, self.state,
+                                         base_dir=self.cfg.load_pretrain)
+            if pre is not None:
+                self.state = self.state.replace(
+                    params_G=pre.params_G, params_D=pre.params_D,
+                    aux_G=pre.aux_G, aux_D=pre.aux_D)
+                self.log(f"warm-started weights from {self.cfg.load_pretrain}")
+            else:
+                self.log(f"WARNING: --load_pretrain dir "
+                         f"{self.cfg.load_pretrain} has no 'latest' checkpoint")
         return self.state
 
     # ------------------------------------------------------------------
@@ -103,11 +124,20 @@ class Trainer:
             self._temporal_initialized = True
             self.log("---------- temporal phase begins ----------")
 
+        # mid-epoch resume: skip through the iterations already done before
+        # the crash (reference trainer.py:27-30 + iter.txt cursor)
+        start_iter = self.epoch_iter if epoch == self.start_epoch else 0
+        if start_iter:
+            self.log(f"skipping {start_iter} already-completed iters "
+                     f"of epoch {epoch}")
+
         losses_accum: Dict[str, float] = {}
         count = 0
         t0 = time.time()
         rng = jax.random.PRNGKey(cfg.seed * 100003 + epoch)
         for idx, seq in enumerate(data_iter):
+            if idx < start_iter:
+                continue
             T = seq["tgt_label"].shape[1]
             # teacher pseudo-GT flow for the whole sequence
             flow_gt_seq = conf_gt_seq = None
@@ -116,6 +146,7 @@ class Trainer:
 
             prevs = None
             seq_losses: Dict[str, jnp.ndarray] = {}
+            visuals = None
             for t in range(T):
                 batch_t = {
                     "tgt_label": seq["tgt_label"][:, t],
@@ -129,6 +160,11 @@ class Trainer:
                                  for c in conf_gt_seq]
                                 if conf_gt_seq is not None else [None, None]),
                 }
+                if self.pool is not None:
+                    b, h, w = batch_t["tgt_image"].shape[:3]
+                    pf, pm = self.pool.begin_step(b, (h, w, 3))
+                    batch_t["pool_fake"] = jnp.asarray(pf)
+                    batch_t["pool_mask"] = jnp.asarray(pm)
                 if self.mesh is not None:
                     batch_t = shard_batch(self.mesh, batch_t)
                 if prevs is None:
@@ -136,11 +172,16 @@ class Trainer:
                     if self.mesh is not None:
                         prevs = shard_batch(self.mesh, prevs)
                 flags = StepFlags(warp_prev=warp_prev,
-                                  has_prev=warp_prev and t > 0)
+                                  has_prev=warp_prev and t > 0,
+                                  use_pool=self.pool is not None)
                 rng, step_rng = jax.random.split(rng)
-                self.state, prevs, losses = train_step(
+                self.state, prevs, losses, visuals = train_step(
                     cfg, self.models, self.state, batch_t, prevs, flags,
                     step_rng)
+                if self.pool is not None:
+                    self.pool.commit(
+                        np.asarray(jax.device_get(visuals["fake_image"]),
+                                   np.float32))
                 # accumulate on-device; averaged over ALL frames of the
                 # sequence (not just the last) when logged below
                 for k, v in losses.items():
@@ -148,11 +189,35 @@ class Trainer:
             for k, v in seq_losses.items():
                 losses_accum[k] = losses_accum.get(k, 0.0) + float(v) / T
             count += 1
-            if cfg.print_freq and (idx + 1) % max(1, cfg.print_freq // max(cfg.batch_size, 1)) == 0:
+            self.global_step += 1
+            iters_done = idx + 1
+            bs = max(cfg.batch_size, 1)
+            if cfg.print_freq and iters_done % max(1, cfg.print_freq // bs) == 0:
                 dt = (time.time() - t0) / max(count, 1)
-                msg = " ".join(f"{k}:{v / count:.3f}"
-                               for k, v in sorted(losses_accum.items()))
-                self.log(f"epoch {epoch} iter {idx + 1} ({dt:.2f}s/it) {msg}")
+                avg = {k: v / count for k, v in losses_accum.items()}
+                if self.vis is not None:
+                    self.vis.print_current_errors(epoch, iters_done, avg, dt)
+                    self.vis.plot_current_errors(avg, self.global_step)
+                else:
+                    msg = " ".join(f"{k}:{v:.3f}"
+                                   for k, v in sorted(avg.items()))
+                    self.log(f"epoch {epoch} iter {iters_done} "
+                             f"({dt:.2f}s/it) {msg}")
+            # display_freq image dumps (reference trainer.py:53-56 +
+            # save_all_tensors :96-111): last frame of this sequence
+            if (self.vis is not None and cfg.display_freq
+                    and iters_done % max(1, cfg.display_freq // bs) == 0):
+                from fsvid2vid_tpu.utils.visualizer import display_visuals
+                self.vis.save_images(display_visuals(cfg, visuals),
+                                     epoch, iters_done)
+            # mid-epoch 'latest' checkpoint with the iter cursor (reference
+            # save_latest_freq, models/models.py:48-62)
+            if (cfg.save_latest_freq
+                    and iters_done % max(1, cfg.save_latest_freq // bs) == 0):
+                ckpt_lib.save(cfg, self.state, epoch, epoch_iter=iters_done,
+                              label="latest")
+                self.log(f"saved latest (epoch {epoch}, iter {iters_done})")
+        self.epoch_iter = 0  # epoch completed; next epoch starts clean
         ckpt_lib.save_epoch(cfg, self.state, epoch)
         return {k: v / max(count, 1) for k, v in losses_accum.items()}
 

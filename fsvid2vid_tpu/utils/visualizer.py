@@ -15,7 +15,41 @@ import numpy as np
 
 from fsvid2vid_tpu.config import Config
 from fsvid2vid_tpu.utils.html import HTML
-from fsvid2vid_tpu.utils.imaging import save_image
+from fsvid2vid_tpu.utils.imaging import (
+    save_image, tensor2flow, tensor2im, tensor2label)
+
+
+def display_visuals(cfg: Config, vis) -> Dict[str, Optional[np.ndarray]]:
+    """Step-returned visual tensors -> uint8 display images (reference
+    models/trainer.py:96-111 save_all_tensors + util/util.py converters).
+    Batch entries are tiled into one grid per label."""
+    vis = jax.device_get(vis)  # tree-maps through lists/None
+    out: Dict[str, Optional[np.ndarray]] = {}
+    if cfg.label_nc > 0:
+        lab = np.asarray(vis["tgt_label"], np.float32)
+        out["input_label"] = tensor2label(lab[0], cfg.label_nc)
+    else:
+        out["input_label"] = tensor2im(vis["tgt_label"], tile=True)
+    out["ref_label"] = (tensor2label(
+        np.asarray(vis["ref_label"], np.float32)[0], cfg.label_nc)
+        if cfg.label_nc > 0 else tensor2im(vis["ref_label"], tile=True))
+    out["ref_image"] = tensor2im(vis["ref_image"], tile=True)
+    out["real_image"] = tensor2im(vis["tgt_image"], tile=True)
+    out["fake_image"] = tensor2im(vis["fake_image"], tile=True)
+    if vis.get("fake_raw") is not None:
+        out["fake_raw_image"] = tensor2im(vis["fake_raw"], tile=True)
+    names = ["ref", "prev"]
+    for i, w in enumerate(vis.get("warped") or []):
+        if w is not None:
+            out[f"warped_image_{names[i]}"] = tensor2im(w, tile=True)
+    for i, f in enumerate(vis.get("flow") or []):
+        if f is not None:
+            out[f"flow_{names[i]}"] = tensor2flow(np.asarray(f)[0])
+    for i, m in enumerate(vis.get("flow_mask") or []):
+        if m is not None:
+            out[f"flow_mask_{names[i]}"] = tensor2im(
+                np.asarray(m, np.float32), normalize=False, tile=True)
+    return out
 
 
 def is_master() -> bool:

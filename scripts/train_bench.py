@@ -86,7 +86,7 @@ def main():
     def body(carry, batch):
         st, pv = carry
         batch = dict(batch, flow_gt=[None, None], conf_gt=[None, None])
-        st, pv2, losses = train_step(cfg, models, st, batch, pv, flags,
+        st, pv2, losses, _vis = train_step(cfg, models, st, batch, pv, flags,
                                      jax.random.PRNGKey(0))
         # keep the carry dtype stable across configs (refiner paths emit f32)
         pv2 = {k: v.astype(pv[k].dtype) for k, v in pv2.items()}

@@ -114,6 +114,38 @@ class TestImagePool:
         out2 = pool.query(b)
         assert out2.shape == b.shape  # mix of replayed + current
 
+    def test_split_phase_api(self, rng):
+        """begin_step/commit (used by the jitted train step): filling phase
+        returns no swaps; once full, swapped slots return stored fakes and
+        are overwritten by the committed batch."""
+        pool = ImagePool(2, seed=0)
+        a = rng.randn(2, 2, 2, 1).astype(np.float32)
+        fake, mask = pool.begin_step(2, (2, 2, 1))
+        assert not mask.any()  # pool empty: D sees current fakes
+        pool.commit(a)
+        assert pool.num_imgs == 2
+        stored_before = [im.copy() for im in pool.images]
+        # run until at least one swap happens (50% per sample once full)
+        b = rng.randn(2, 2, 2, 1).astype(np.float32)
+        swapped = False
+        for _ in range(20):
+            fake, mask = pool.begin_step(2, (2, 2, 1))
+            if mask.any():
+                swapped = True
+                i = int(np.nonzero(mask[:, 0, 0, 0])[0][0])
+                # returned replacement is one of the stored images
+                assert any(np.allclose(fake[i], s) for s in pool.images)
+                break
+            pool.commit(b)
+        assert swapped
+        pool.commit(b)
+        # each swapped slot holds the LAST committed fake written to it
+        # (samples may pick the same slot; later samples overwrite, matching
+        # query()'s sequential replacement)
+        j = int(np.nonzero(mask[:, 0, 0, 0])[0][-1])
+        assert any(np.allclose(im, b[j]) for im in pool.images)
+        del stored_before
+
 
 class TestImaging:
     def test_tensor2im(self, rng):

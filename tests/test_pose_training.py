@@ -14,6 +14,8 @@ from fsvid2vid_tpu.models.face_refiner import (
 from fsvid2vid_tpu.training.state import build_models, init_state
 from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
 
+pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
+
 
 def tiny_pose_cfg(**kw):
     base = dict(ngf=4, nff=4, ndf=4, fine_size=32, load_size=32,
@@ -121,7 +123,7 @@ class TestPoseTrainStep:
         }
         state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
         prevs = init_prevs(cfg, batch)
-        new_state, prevs, losses = train_step(
+        new_state, prevs, losses, _ = train_step(
             cfg, models, state, batch, prevs, StepFlags(False, False),
             jax.random.PRNGKey(1))
         for k, v in losses.items():

@@ -12,6 +12,8 @@ from fsvid2vid_tpu.training.state import (
 from fsvid2vid_tpu.training.step import (
     StepFlags, init_prevs, train_step)
 
+pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
+
 
 def tiny_cfg(**kw):
     base = dict(ngf=4, nff=4, ndf=4, fine_size=32, load_size=32,
@@ -44,7 +46,7 @@ class TestTrainStep:
         state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
         prevs = init_prevs(cfg, batch)
         flags = StepFlags(warp_prev=False, has_prev=False)
-        new_state, new_prevs, losses = train_step(
+        new_state, new_prevs, losses, _ = train_step(
             cfg, models, state, batch, prevs, flags, jax.random.PRNGKey(1))
         for k, v in losses.items():
             assert np.isfinite(float(v)), f"{k} not finite"
@@ -65,11 +67,11 @@ class TestTrainStep:
         state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
         prevs = init_prevs(cfg, batch)
         # frame 0 in temporal phase: warp_prev on, no prev yet
-        state, prevs, _ = train_step(
+        state, prevs, _, _ = train_step(
             cfg, models, state, batch, prevs, StepFlags(True, False),
             jax.random.PRNGKey(1))
         # frame 1: prevs active -> temporal flow branch exercised
-        state, prevs, losses = train_step(
+        state, prevs, losses, _ = train_step(
             cfg, models, state, batch, prevs, StepFlags(True, True),
             jax.random.PRNGKey(2))
         for k, v in losses.items():
@@ -81,10 +83,10 @@ class TestTrainStep:
         batch = make_batch(cfg, rng)
         state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
         prevs = init_prevs(cfg, batch)
-        state, prevs, _ = train_step(
+        state, prevs, _, _ = train_step(
             cfg, models, state, batch, prevs, StepFlags(True, False),
             jax.random.PRNGKey(1))
-        _, _, losses = train_step(
+        _, _, losses, _ = train_step(
             cfg, models, state, batch, prevs, StepFlags(True, True),
             jax.random.PRNGKey(2))
         assert float(jnp.abs(losses["DT_real"]) + jnp.abs(losses["DT_fake"])) > 0
@@ -118,7 +120,7 @@ class TestDataParallel:
         batch_s = shard_batch(mesh, batch)
         prevs_s = shard_batch(mesh, prevs)
         state_s = replicate(mesh, state)
-        new_state, _, losses = train_step(
+        new_state, _, losses, _ = train_step(
             cfg, models, state_s, batch_s, prevs_s,
             StepFlags(False, False), jax.random.PRNGKey(1))
         for k, v in losses.items():
@@ -133,10 +135,10 @@ class TestDataParallel:
         state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
         prevs = init_prevs(cfg, batch)
         flags = StepFlags(False, False)
-        _, _, losses_1 = train_step(cfg, models, state, batch, prevs, flags,
+        _, _, losses_1, _ = train_step(cfg, models, state, batch, prevs, flags,
                                     jax.random.PRNGKey(1))
         batch_s = shard_batch(mesh, batch)
-        _, _, losses_8 = train_step(cfg, models, replicate(mesh, state),
+        _, _, losses_8, _ = train_step(cfg, models, replicate(mesh, state),
                                     batch_s, shard_batch(mesh, prevs),
                                     flags, jax.random.PRNGKey(1))
         for k in losses_1:
@@ -144,6 +146,33 @@ class TestDataParallel:
             # make pure-relative comparison brittle
             np.testing.assert_allclose(float(losses_1[k]), float(losses_8[k]),
                                        rtol=5e-3, atol=1e-3)
+
+
+class TestImagePoolStep:
+    def test_pool_fakes_feed_discriminator(self, rng):
+        """use_pool: D sees the supplied replay fakes where mask is set;
+        the G losses are untouched (pool only affects the D update)."""
+        cfg = tiny_cfg(pool_size=4)
+        models = build_models(cfg)
+        batch = make_batch(cfg, rng)
+        state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
+        prevs = init_prevs(cfg, batch)
+        b, h, w = 2, cfg.height, cfg.width
+        pool_fake = jnp.asarray(
+            np.tanh(rng.randn(b, h, w, 3)).astype(np.float32))
+        all_mask = jnp.ones((b, 1, 1, 1), bool)
+        no_mask = jnp.zeros((b, 1, 1, 1), bool)
+        batch_pool = dict(batch, pool_fake=pool_fake, pool_mask=all_mask)
+        batch_nopool = dict(batch, pool_fake=pool_fake, pool_mask=no_mask)
+        flags = StepFlags(False, False, use_pool=True)
+        _, _, l_pool, _ = train_step(cfg, models, state, batch_pool, prevs,
+                                     flags, jax.random.PRNGKey(1))
+        _, _, l_nopool, _ = train_step(cfg, models, state, batch_nopool,
+                                       prevs, flags, jax.random.PRNGKey(1))
+        # D_fake differs (different fakes), G losses identical
+        assert abs(float(l_pool["D_fake"]) - float(l_nopool["D_fake"])) > 1e-6
+        np.testing.assert_allclose(float(l_pool["F_Warp"]),
+                                   float(l_nopool["F_Warp"]))
 
 
 class TestMixedPrecision:
@@ -154,7 +183,7 @@ class TestMixedPrecision:
         batch = make_batch(cfg, rng)
         state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
         prevs = init_prevs(cfg, batch)
-        new_state, _, losses = train_step(
+        new_state, _, losses, _ = train_step(
             cfg, models, state, batch, prevs, StepFlags(False, False),
             jax.random.PRNGKey(1))
         for k, v in losses.items():

@@ -68,6 +68,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(halves activation memory; pose default)")
     p.add_argument("--no_flow_gt", action="store_true")
     p.add_argument("--lambda_temp", type=float, default=None)
+    p.add_argument("--load_pretrain", type=str, default=None,
+                   help="checkpoint dir to warm-start network weights from "
+                        "(reference train_options.py:16)")
+    p.add_argument("--pool_size", type=int, default=None,
+                   help="fake-image replay pool size for the D update "
+                        "(reference hard-codes 0 = disabled)")
+    # observability (reference train_options.py:18-23)
+    p.add_argument("--print_freq", type=int, default=None)
+    p.add_argument("--display_freq", type=int, default=None)
+    p.add_argument("--save_latest_freq", type=int, default=None)
+    p.add_argument("--save_epoch_freq", type=int, default=None)
+    p.add_argument("--tf_log", action="store_true",
+                   help="TensorBoard scalar curves (reference --tf_log)")
     # runtime
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pod "
@@ -140,7 +153,7 @@ def main() -> None:
     if jax.process_index() == 0:
         os.makedirs(os.path.join(cfg.checkpoints_dir, cfg.name), exist_ok=True)
         cfg.save(os.path.join(cfg.checkpoints_dir, cfg.name, "config.json"))
-    vis = Visualizer(cfg)
+    vis = Visualizer(cfg, tb_log=getattr(args, "tf_log", False))
 
     loader = SequenceLoader(cfg, steps_per_epoch=args.steps_per_epoch,
                             shard_id=jax.process_index(),
@@ -156,7 +169,7 @@ def main() -> None:
             vis.vis_print("WARNING: no --flownet_ckpt; flow teacher runs "
                           "with random weights (flow loss uninformative)")
 
-    trainer = Trainer(cfg, log_fn=vis.vis_print)
+    trainer = Trainer(cfg, log_fn=vis.vis_print, visualizer=vis)
     # initialize from one real batch (shapes)
     loader.set_epoch_frames(1)
     sample = next(iter(loader.epoch(0)))
