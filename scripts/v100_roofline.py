@@ -6,15 +6,17 @@ Replaces the "V100 ≈ CPU × 30-100" folklore with arithmetic.  Method:
     shimmed import used by the parity suite) at the flagship config
     (face 512px, K=1) and run its cached-weights inference path (t>0 frame,
     the steady-state serving step, generator.py:415-418).
-2.  Count, per frame:
-      * conv/linear FLOPs analytically from each module's shapes (the same
-        quantity XLA's cost analysis reports for our stack);
-      * eager-mode HBM bytes: in eager torch every leaf module's inputs and
-        outputs cross HBM (no inter-op fusion beyond cuDNN's conv+bias), so
-        traffic >= sum over leaf calls of (in+out elements) * dtype bytes.
-        fp16 (2 B) is assumed — the best case for the reference under AMP.
-      * kernel launches: >= one per leaf call (elementwise chains inside a
-        leaf add more; we count 1 — again the best case).
+2.  Count, per frame, with a TorchDispatchMode intercepting EVERY aten op
+    the eager execution dispatches (convs, norms, elementwise, interpolate,
+    grid_sample — nothing escapes, unlike module hooks):
+      * conv/matmul FLOPs from aten.convolution/addmm/mm/bmm shapes (the
+        same quantity XLA's cost analysis reports for our stack);
+      * eager-mode HBM bytes: in eager torch every dispatched op reads its
+        tensor inputs and writes its outputs through HBM (no inter-op
+        fusion), so traffic = sum over ops of (in+out elements) * 2 B
+        (fp16 assumed — the best case for the reference under AMP);
+      * kernel launches: one per dispatched op (a lower bound; cuDNN convs
+        often launch several).
 3.  Roofline on V100-SXM2 specs: 125 TFLOP/s fp16 tensor cores, 900 GB/s
     HBM2, ~5 us per kernel launch (CUDA driver, no CUDA graphs — the
     reference predates them).
@@ -42,16 +44,60 @@ LAUNCH_S = 5e-6              # per-kernel launch overhead, no CUDA graphs
 BYTES = 2                    # fp16
 
 
-def conv_flops(mod, inp, out):
-    import torch.nn as nn
-    if isinstance(mod, (nn.Conv2d, nn.ConvTranspose2d)):
-        co = out.shape[1]
-        spatial = int(np.prod(out.shape[2:]))
-        ci_k = mod.in_channels // mod.groups * int(np.prod(mod.kernel_size))
-        return 2 * out.shape[0] * co * spatial * ci_k
-    if isinstance(mod, nn.Linear):
-        return 2 * int(np.prod(inp.shape[:-1])) * mod.in_features * mod.out_features
-    return 0
+def make_counter():
+    """TorchDispatchMode summing bytes / launches / matmul-conv FLOPs over
+    every dispatched aten op."""
+    import torch
+    from torch.utils._python_dispatch import TorchDispatchMode
+
+    stats = dict(flops=0, bytes=0, launches=0, serial_s=0.0)
+
+    def tensor_elems(x):
+        n = 0
+        if torch.is_tensor(x):
+            n += x.numel()
+        elif isinstance(x, (list, tuple)):
+            n += sum(tensor_elems(e) for e in x)
+        return n
+
+    class Counter(TorchDispatchMode):
+        def __torch_dispatch__(self, func, types, args=(), kwargs=None):
+            kwargs = kwargs or {}
+            out = func(*args, **kwargs)
+            name = func.overloadpacket.__name__
+            if name in ("detach", "t", "view", "_unsafe_view", "reshape",
+                        "alias", "expand", "permute", "transpose",
+                        "unsqueeze", "squeeze", "split", "chunk", "select",
+                        "slice", "empty", "empty_like", "zeros", "ones",
+                        "_local_scalar_dense", "lift_fresh", "clone"):
+                return out  # metadata-only / alloc: no HBM pass in steady state
+            stats["launches"] += 1
+            op_bytes = (tensor_elems(args) + tensor_elems(out)) * BYTES
+            stats["bytes"] += op_bytes
+            op_flops = 0
+            if name == "convolution":
+                inp, w = args[0], args[1]
+                co = w.shape[0]
+                groups = args[8] if len(args) > 8 else 1
+                ci_k = int(np.prod(w.shape[1:]))  # cin/groups * kh * kw
+                if torch.is_tensor(out):
+                    spatial = int(np.prod(out.shape[2:]))
+                    op_flops = 2 * out.shape[0] * co * spatial * ci_k
+                del groups
+            elif name in ("addmm", "mm"):
+                a, b = (args[1], args[2]) if name == "addmm" else (args[0], args[1])
+                op_flops = 2 * a.shape[0] * a.shape[1] * b.shape[1]
+            elif name == "bmm":
+                a, b = args[0], args[1]
+                op_flops = 2 * a.shape[0] * a.shape[1] * a.shape[2] * b.shape[2]
+            stats["flops"] += op_flops
+            # eager kernels serialize on one CUDA stream: per-op time is the
+            # max of its own three ceilings, and op times add
+            stats["serial_s"] += max(op_flops / V100_FP16_FLOPS,
+                                     op_bytes / V100_HBM_BPS, LAUNCH_S)
+            return out
+
+    return Counter(), stats
 
 
 def main():
@@ -80,33 +126,13 @@ def main():
     prev_l = torch.randn(1, 1 * (opt.n_frames_G - 1), h, w)
     prev_i = torch.tanh(torch.randn(1, 3 * (opt.n_frames_G - 1), h, w))
 
-    stats = dict(flops=0, bytes=0, launches=0)
-
-    def hook(mod, inputs, output):
-        outs = output if isinstance(output, (tuple, list)) else (output,)
-        n_el = sum(int(t.numel()) for t in inputs
-                   if torch.is_tensor(t))
-        n_el += sum(int(t.numel()) for t in outs if torch.is_tensor(t))
-        stats["bytes"] += n_el * BYTES
-        stats["launches"] += 1
-        ins = [t for t in inputs if torch.is_tensor(t)]
-        if ins and torch.is_tensor(outs[0]):
-            stats["flops"] += conv_flops(mod, ins[0], outs[0])
-
-    handles = []
-    for m in netG.modules():
-        if len(list(m.children())) == 0 and len(list(m.parameters())) >= 0:
-            handles.append(m.register_forward_hook(hook))
-
+    counter, stats = make_counter()
     with torch.no_grad():
         # t=0: computes + caches the adaptive weights
-        netG(label, ref_l, ref_i, prev_l, prev_i, t=0)
-        for k in stats:
-            stats[k] = 0
+        netG(label, ref_l, ref_i, prev=[prev_l, prev_i], t=0)
         # t=1: the steady-state frame (cached weights, generator.py:415-418)
-        netG(label, ref_l, ref_i, prev_l, prev_i, t=1)
-    for hd in handles:
-        hd.remove()
+        with counter:
+            netG(label, ref_l, ref_i, prev=[prev_l, prev_i], t=1)
 
     t_compute = stats["flops"] / V100_FP16_FLOPS
     t_memory = stats["bytes"] / V100_HBM_BPS
@@ -120,7 +146,9 @@ def main():
         "t_compute_ms": t_compute * 1e3,
         "t_memory_ms": t_memory * 1e3,
         "t_launch_ms": t_launch * 1e3,
+        "t_serialized_eager_ms": stats["serial_s"] * 1e3,
         "v100_fps_upper_bound": 1.0 / t_floor,
+        "v100_fps_serialized_estimate": 1.0 / stats["serial_s"],
         "binding_term": max(
             [("compute", t_compute), ("memory", t_memory),
              ("launch", t_launch)], key=lambda kv: kv[1])[0],
