@@ -34,10 +34,12 @@ from fsvid2vid_tpu.config import Config
 from fsvid2vid_tpu.models.embedder import LabelEmbedder, channel_schedule
 from fsvid2vid_tpu.models.flow_generator import FlowGenerator
 from fsvid2vid_tpu.models.layers import (
-    SNDense, SpadeConv2d, SpadeResnetBlock, xavier_normal_init)
+    SNConv, SNDense, SpadeConv2d, SpadeResnetBlock, xavier_normal_init)
 from fsvid2vid_tpu.ops.batch_conv import batch_conv
 from fsvid2vid_tpu.ops.image_ops import (
     adaptive_avg_pool, leaky_relu, upsample_nearest)
+from fsvid2vid_tpu.ops.spd import (
+    depth_to_space, space_to_depth, spd_upsample_enter)
 from fsvid2vid_tpu.ops.warp import flow_warp
 
 
@@ -179,7 +181,7 @@ class FewShotGenerator(nn.Module):
         # storing its full-res activations, the memory peak of training
         # (cf. reference's lack of any equivalent; enables pose bs4 @512x256
         # with VGG on a 16GB chip).  Param tree is unchanged.
-        block_cls = (nn.remat(SpadeResnetBlock, static_argnums=(5,))
+        block_cls = (nn.remat(SpadeResnetBlock, static_argnums=(5, 6))
                      if cfg.remat else SpadeResnetBlock)
         self.up_blocks = [
             block_cls(
@@ -190,8 +192,10 @@ class FewShotGenerator(nn.Module):
                 name=f"up_{i}")
             for i in range(self.nd + 1)
         ]
-        self.conv_img = nn.Conv(3, (3, 3), padding=1,
-                                kernel_init=xavier_normal_init())
+        # SNConv(use_sn=False) == the reference's plain conv with the same
+        # {kernel, bias} param tree as nn.Conv, plus the STD apply modes
+        self.conv_img = SNConv(3, 3, use_sn=False,
+                               kernel_init=xavier_normal_init())
 
         # --- multi-reference attention (generator.py:127-134) ---
         if cfg.n_shot > 1:
@@ -576,27 +580,82 @@ class FewShotGenerator(nn.Module):
     # ------------------------------------------------------------------
     # main branch (generator.py:199-211)
     # ------------------------------------------------------------------
+    def _std_levels(self, encoded_label, train) -> int:
+        """Number of finest up-block levels to run in space-to-depth layout
+        at eval (0 = disabled).  The two finest levels are the small-channel
+        full-res stages whose NHWC tensors waste most of the 128-wide vector
+        lanes (ops/spd.py); the STD math is exact."""
+        cfg = self.cfg
+        if (train or not cfg.spd_inference or self.nd < 2
+                or cfg.spade_ks != 1 or cfg.conv_ks != 3 or self.adap_conv
+                or "batch" not in cfg.norm_G):
+            return 0
+        m = encoded_label[0]
+        m = m[0] if isinstance(m, list) else m
+        if m.shape[1] % 4 or m.shape[2] % 4:
+            return 0
+        return 2
+
     def _main_branch(self, x, encoded_label, gen, raw_label=None, train=False):
         cfg = self.cfg
         add_raw = cfg.add_raw_output_loss and cfg.spade_combine
         x_raw = None
-        for i in range(self.nd, -1, -1):
+        n_std = self._std_levels(encoded_label, train)
+
+        def weights_for(i):
             cw = (gen["conv_weights"][i]
                   if self.adap_conv and i < self.n_adaptive else None)
             nw = (gen["norm_weights"][i]
                   if self.adap_spade and i < self.n_adaptive else None)
+            return cw, nw
+
+        for i in range(self.nd, n_std - 1, -1):
+            cw, nw = weights_for(i)
             if add_raw and i < cfg.n_sc_layers:
                 if i == cfg.n_sc_layers - 1:
                     x_raw = x
                 x_raw = self.up_blocks[i](x_raw, raw_label[i], cw, nw,
                                           train)
-                if i != 0:
+                if i > n_std:
                     x_raw = upsample_nearest(x_raw)
             x = self.up_blocks[i](x, encoded_label[i], cw, nw, train)
-            if i != 0:
+            if i > n_std:
                 x = upsample_nearest(x)
-        img = jnp.tanh(self.conv_img(leaky_relu(x)))
-        img_raw = (jnp.tanh(self.conv_img(leaky_relu(x_raw)))
+
+        if n_std:
+            def to_std(lbl):
+                if isinstance(lbl, list):
+                    return [space_to_depth(m) if m is not None else None
+                            for m in lbl]
+                return space_to_depth(lbl)
+
+            # the 2x nearest upsample entering the STD region is a channel
+            # tiling of the pre-upsample tensor (spd_upsample_enter)
+            x = spd_upsample_enter(x)
+            if x_raw is not None:
+                x_raw = spd_upsample_enter(x_raw)
+            for i in range(n_std - 1, -1, -1):
+                cw, nw = weights_for(i)
+                if add_raw and i < cfg.n_sc_layers:
+                    if i == cfg.n_sc_layers - 1:
+                        x_raw = x
+                    x_raw = self.up_blocks[i](x_raw, to_std(raw_label[i]),
+                                              cw, nw, train, True)
+                    if i != 0:
+                        x_raw = spd_upsample_enter(depth_to_space(x_raw))
+                x = self.up_blocks[i](x, to_std(encoded_label[i]), cw, nw,
+                                      train, True)
+                if i != 0:
+                    x = spd_upsample_enter(depth_to_space(x))
+            img = depth_to_space(jnp.tanh(
+                self.conv_img(leaky_relu(x), train, spd="s1")))
+            img_raw = (depth_to_space(jnp.tanh(
+                self.conv_img(leaky_relu(x_raw), train, spd="s1")))
+                if x_raw is not None else None)
+            return img, img_raw
+
+        img = jnp.tanh(self.conv_img(leaky_relu(x), train))
+        img_raw = (jnp.tanh(self.conv_img(leaky_relu(x_raw), train))
                    if x_raw is not None else None)
         return img, img_raw
 

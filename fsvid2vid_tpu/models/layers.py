@@ -26,7 +26,9 @@ from flax import linen as nn
 
 from fsvid2vid_tpu.ops.batch_conv import batch_conv
 from fsvid2vid_tpu.ops.image_ops import leaky_relu, resize_nearest, avg_pool
-from fsvid2vid_tpu.ops.spd import spd_conv, spd_tile_channel
+from fsvid2vid_tpu.ops.spd import (
+    spd_batch_kernel_k1_grouped, spd_conv, spd_kernel_k1_grouped,
+    spd_tile_channel)
 from fsvid2vid_tpu.ops.spectral_norm import (
     spectral_normalize, conv_kernel_matrix, dense_kernel_matrix)
 
@@ -85,8 +87,11 @@ class SNConv(nn.Module):
             kernel = kernel / sigma.astype(kernel.dtype)
 
         if spd is not None:
-            assert k == 3 and (k // 2 if self.padding is None
-                               else self.padding) == 1
+            if spd == "k1":
+                assert k == 1
+            else:
+                assert k == 3 and (k // 2 if self.padding is None
+                                   else self.padding) == 1
             y = spd_conv(x, kernel, spd)
             if bias is not None:
                 b_ = bias if spd == "s2_exit" else spd_tile_channel(bias)
@@ -257,10 +262,19 @@ class Spade(nn.Module):
     params_free: bool = False      # map 0 uses generated weights
 
     @nn.compact
-    def __call__(self, x, maps, weights=None, train: bool = False):
+    def __call__(self, x, maps, weights=None, train: bool = False,
+                 spd: bool = False):
+        """spd: x and every map are in space-to-depth layout (eval only;
+        requires ks == 1 and a batch-type inner norm).  The 1x1 gamma/beta
+        convs lift to block-diagonal STD kernels (ops/spd.py) with the
+        gamma/beta halves kept contiguous, so the math is identical."""
         if not isinstance(maps, (list, tuple)):
             maps = [maps]
-        if "batch" in self.norm:
+        if spd:
+            assert self.ks == 1 and "batch" in self.norm
+            normed = SyncBatchNorm(self.norm_nc, affine=False,
+                                   name="norm")(x, train, spd=True)
+        elif "batch" in self.norm:
             normed = SyncBatchNorm(self.norm_nc, affine=False, name="norm")(x, train)
         else:
             normed = InstanceNorm(self.norm_nc, affine=False, eps=0.1, name="norm")(x, train)
@@ -270,26 +284,44 @@ class Spade(nn.Module):
         for i, m in enumerate(maps):
             if m is None:
                 continue
-            m = resize_nearest(m, x.shape[1:3])
+            if not spd:
+                m = resize_nearest(m, x.shape[1:3])
             if weights is not None and i == 0:
                 # generated per-sample conv weights, no bias
                 # (normalization.py:47-50); fused along out-channels
-                gb = batch_conv(m, jnp.concatenate(
-                    [weights[0], weights[1]], axis=-1))
-                gamma, beta = gb[..., :nc], gb[..., nc:]
+                w = jnp.concatenate([weights[0], weights[1]], axis=-1)
+                if spd:
+                    assert m.shape[1:3] == x.shape[1:3]
+                    gb = batch_conv(m, spd_batch_kernel_k1_grouped(w, 2))
+                    gamma, beta = gb[..., :4 * nc], gb[..., 4 * nc:]
+                else:
+                    gb = batch_conv(m, w)
+                    gamma, beta = gb[..., :nc], gb[..., nc:]
             else:
                 s = str(i + 1) if i > 0 else ""
-                gk, gbias = _ConvParams(m.shape[-1], nc, self.ks,
+                cin = m.shape[-1] // (4 if spd else 1)
+                gk, gbias = _ConvParams(cin, nc, self.ks,
                                         name=f"mlp_gamma{s}")()
-                bk, bbias = _ConvParams(m.shape[-1], nc, self.ks,
+                bk, bbias = _ConvParams(cin, nc, self.ks,
                                         name=f"mlp_beta{s}")()
-                w = jnp.concatenate([gk, bk], axis=-1).astype(m.dtype)
-                gb = jax.lax.conv_general_dilated(
-                    m, w, window_strides=(1, 1),
-                    padding=((pad, pad), (pad, pad)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                gb = gb + jnp.concatenate([gbias, bbias]).astype(gb.dtype)
-                gamma, beta = gb[..., :nc], gb[..., nc:]
+                w = jnp.concatenate([gk, bk], axis=-1)
+                if spd:
+                    assert m.shape[1:3] == x.shape[1:3]
+                    gb = jax.lax.conv_general_dilated(
+                        m, spd_kernel_k1_grouped(w, 2).astype(m.dtype),
+                        window_strides=(1, 1), padding=((0, 0), (0, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    gb = gb + jnp.concatenate(
+                        [spd_tile_channel(gbias),
+                         spd_tile_channel(bbias)]).astype(gb.dtype)
+                    gamma, beta = gb[..., :4 * nc], gb[..., 4 * nc:]
+                else:
+                    gb = jax.lax.conv_general_dilated(
+                        m, w.astype(m.dtype), window_strides=(1, 1),
+                        padding=((pad, pad), (pad, pad)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    gb = gb + jnp.concatenate([gbias, bbias]).astype(gb.dtype)
+                    gamma, beta = gb[..., :nc], gb[..., nc:]
             out = out * (1 + gamma) + beta
         return out
 
@@ -327,23 +359,33 @@ class SpadeResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, label=None, conv_weights=None, norm_weights=None,
-                 train: bool = False):
+                 train: bool = False, spd: bool = False):
+        """spd: run in space-to-depth layout (eval only) — x and every
+        modulation map phase-packed, k3 convs via scattered STD kernels and
+        1x1 convs via block-diagonal ones (exact math, ops/spd.py).  Requires
+        stride 1, conv_ks 3, owned conv params, and batch-type norms."""
         fhidden = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         use_spade = "spade" in self.norm
         use_sn = "spectral" in self.norm and not self.conv_params_free
         cw = conv_weights if conv_weights is not None else [None] * 3
         nw = norm_weights if norm_weights is not None else [None] * 3
+        if spd:
+            assert (self.stride == 1 and self.conv_ks == 3
+                    and not self.conv_params_free and not train)
 
         def make_norm(features, name):
             if use_spade:
                 return lambda h, w_: Spade(
                     features, self.hidden_ncs, self.norm, self.spade_ks,
                     params_free=self.norm_params_free, name=name,
-                )(h, label, weights=w_, train=train)
+                )(h, label, weights=w_, train=train, spd=spd)
             plain = make_plain_norm(self.norm, features, name=name)
             if plain is None:
                 return lambda h, w_: h
+            if spd:
+                assert isinstance(plain, SyncBatchNorm)
+                return lambda h, w_: plain(h, train, spd=True)
             return lambda h, w_: plain(h, train)
 
         def make_conv(features, ks, name, stride=1, use_bias=True):
@@ -351,6 +393,9 @@ class SpadeResnetBlock(nn.Module):
                 return lambda h, w_: batch_conv(h, w_[0], w_[1], stride=stride)
             conv = SNConv(features, ks, stride, use_sn=use_sn,
                           use_bias=use_bias, name=name)
+            if spd:
+                return lambda h, w_: conv(h, train,
+                                          spd=("k1" if ks == 1 else "s1"))
             return lambda h, w_: conv(h, train)
 
         bn_0 = make_norm(self.fin, "bn_0")

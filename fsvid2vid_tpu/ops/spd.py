@@ -126,7 +126,41 @@ def spd_conv(x_std: jnp.ndarray, kernel: jnp.ndarray, mode: str) -> jnp.ndarray:
         return lax.conv_general_dilated(
             x_std, k.astype(x_std.dtype), (1, 1), ((1, 0), (1, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if mode == "k1":
+        k = spd_kernel_k1_grouped(kernel, 1)
+        return lax.conv_general_dilated(
+            x_std, k.astype(x_std.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     raise ValueError(mode)
+
+
+def spd_kernel_k1_grouped(kernel: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """1x1 conv kernel (1,1,ci,co) -> its STD equivalent (1,1,4ci,groups*4co').
+
+    A 1x1 conv is pointwise, so every STD phase applies the SAME kernel: the
+    STD kernel is block-diagonal over the 4 phase blocks.  When the original
+    kernel fuses `groups` logical outputs along its out-channel axis (e.g. the
+    Spade gamma/beta convs, co = 2*nc), the STD output is laid out as `groups`
+    contiguous STD blocks — out column m*4co' + q*co' + o — so splitting the
+    groups after the conv is a free contiguous slice.
+    """
+    _, _, ci, co = kernel.shape
+    cg = co // groups
+    w = kernel[0, 0].reshape(ci, groups, cg)
+    eye = jnp.eye(4, dtype=kernel.dtype)
+    k = jnp.einsum("pq,img->pimqg", eye, w)      # (4, ci, groups, 4, cg)
+    return k.reshape(1, 1, 4 * ci, groups * 4 * cg)
+
+
+def spd_batch_kernel_k1_grouped(weight: jnp.ndarray,
+                                groups: int = 1) -> jnp.ndarray:
+    """Per-sample variant for batch_conv: (B,1,1,ci,co) -> (B,1,1,4ci,g*4co')."""
+    b, _, _, ci, co = weight.shape
+    cg = co // groups
+    w = weight[:, 0, 0].reshape(b, ci, groups, cg)
+    eye = jnp.eye(4, dtype=weight.dtype)
+    k = jnp.einsum("pq,bimg->bpimqg", eye, w)
+    return k.reshape(b, 1, 1, 4 * ci, groups * 4 * cg)
 
 
 def spd_upsample_enter(x: jnp.ndarray) -> jnp.ndarray:

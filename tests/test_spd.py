@@ -59,6 +59,58 @@ class TestSpdOps:
                                    atol=1e-5)
 
 
+class TestGeneratorSpd:
+    """Full-generator eval parity: spd_inference=True (up blocks 0-1, SPADE
+    modulation, conv_img all in STD layout) must match the plain path."""
+
+    def _run_pair(self, **cfg_kw):
+        from fsvid2vid_tpu.config import face_config
+        from fsvid2vid_tpu.models.generator import FewShotGenerator
+        rng = np.random.RandomState(1)
+        cfg = face_config(ngf=4, nff=4, ndf=4, fine_size=64, load_size=64,
+                          n_blocks_F=2, batch_size=2, is_train=False, **cfg_kw)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        b = 2
+        model = FewShotGenerator(cfg)
+        label = jnp.asarray(rng.randn(b, h, w, cl).astype(np.float32))
+        label_refs = jnp.asarray(rng.randn(b, 1, h, w, cl).astype(np.float32))
+        img_refs = jnp.asarray(np.tanh(rng.randn(b, 1, h, w, 3)).astype(np.float32))
+        prev_l = jnp.asarray(
+            rng.randn(b, h, w, cl * (cfg.n_frames_G - 1)).astype(np.float32))
+        prev_i = jnp.asarray(np.tanh(
+            rng.randn(b, h, w, 3 * (cfg.n_frames_G - 1))).astype(np.float32))
+        vs = model.init(jax.random.PRNGKey(0), label, label_refs, img_refs,
+                        prev_l, prev_i, warp_prev=True, train=True)
+        # push batch stats off init values so the STD norm path is non-trivial
+        _, mut = model.apply(vs, label, label_refs, img_refs, prev_l, prev_i,
+                             warp_prev=True, train=True,
+                             mutable=["batch_stats", "spectral"])
+        vs = {**vs, **mut}
+
+        out_std = model.apply(vs, label, label_refs, img_refs, prev_l, prev_i,
+                              warp_prev=True, train=False, mutable=False)
+        plain = FewShotGenerator(cfg.replace(spd_inference=False))
+        out_plain = plain.apply(vs, label, label_refs, img_refs, prev_l,
+                                prev_i, warp_prev=True, train=False,
+                                mutable=False)
+        return out_std, out_plain
+
+    def test_eval_matches_plain(self):
+        out_std, out_plain = self._run_pair()
+        np.testing.assert_allclose(np.asarray(out_std["img_final"]),
+                                   np.asarray(out_plain["img_final"]),
+                                   atol=2e-5)
+
+    def test_eval_matches_plain_raw_output(self):
+        out_std, out_plain = self._run_pair(add_raw_output_loss=True)
+        np.testing.assert_allclose(np.asarray(out_std["img_final"]),
+                                   np.asarray(out_plain["img_final"]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_std["img_raw"]),
+                                   np.asarray(out_plain["img_raw"]),
+                                   atol=2e-5)
+
+
 class TestFlowGeneratorSpd:
     def test_eval_path_matches_plain(self, rng):
         cfg = face_config(nff=8, n_blocks_F=2, is_train=False)
