@@ -237,8 +237,67 @@ def bench_all():
     return results
 
 
+def bench_latency(frames=60):
+    """Streaming serving latency: per-frame dispatch (no batching across
+    frames), p50/p99 wall time per frame at the flagship 512px config.
+
+    Unlike the scan-amortized throughput number, this includes the per-
+    dispatch host->device round trip (~30 ms through the remote-TPU relay on
+    this host; near-zero with a locally attached chip), i.e. it is the
+    latency a real-time caller would observe."""
+    import jax.numpy as jnp
+    import numpy as np
+    from fsvid2vid_tpu.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from fsvid2vid_tpu.config import face_config
+    from fsvid2vid_tpu.inference.pipeline import InferencePipeline
+    from fsvid2vid_tpu.training.state import build_models
+    from fsvid2vid_tpu.parallel.precision import cast_floating
+    import jax
+
+    cfg = face_config(batch_size=1, is_train=False, fine_size=SIZE,
+                      load_size=SIZE)
+    models = build_models(cfg)
+    h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+    rng = np.random.RandomState(0)
+    ref_l = jnp.asarray(rng.randn(1, 1, h, w, cl).astype(np.float32))
+    ref_i = jnp.asarray(np.tanh(rng.randn(1, 1, h, w, 3)).astype(np.float32))
+    variables = models.netG.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, h, w, cl)), ref_l, ref_i,
+        jnp.zeros((1, h, w, cl * (cfg.n_frames_G - 1))),
+        jnp.zeros((1, h, w, 3 * (cfg.n_frames_G - 1))),
+        warp_prev=True, train=False)
+    pipe = InferencePipeline(cfg, models, {"G": variables["params"]},
+                             {"G": {k: v for k, v in variables.items()
+                                    if k != "params"}})
+    ref_l, ref_i = cast_floating((ref_l, ref_i), jnp.bfloat16)
+    pipe.reset(ref_l, ref_i)
+    labels = [cast_floating(jnp.asarray(
+        rng.randn(1, h, w, cl).astype(np.float32)), jnp.bfloat16)
+        for _ in range(frames + 3)]
+    # warmup compiles both step variants (t=0 and t>0)
+    for lbl in labels[:3]:
+        np.asarray(pipe.step(lbl)["fake_image"])
+    times = []
+    for lbl in labels[3:]:
+        t0 = time.perf_counter()
+        np.asarray(pipe.step(lbl)["fake_image"])  # readback = frame deliver
+        times.append(time.perf_counter() - t0)
+    ts = np.array(sorted(times)) * 1000
+    out = {"metric": f"face synthesis {SIZE}px streaming frame latency",
+           "unit": "ms",
+           "p50": round(float(np.percentile(ts, 50)), 2),
+           "p99": round(float(np.percentile(ts, 99)), 2),
+           "mean": round(float(ts.mean()), 2), "frames": frames}
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     if "--all" in sys.argv:
         bench_all()
+    elif "--latency" in sys.argv:
+        bench_latency()
     else:
         main()

@@ -47,6 +47,17 @@ def encode_reference_jit(cfg: Config, models: ModelBundle, params_G, aux_G,
     return cache
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def encode_reference_multi_jit(cfg: Config, models: ModelBundle, params_G,
+                               aux_G, ref_labels, ref_images):
+    """K>1: cache the label-independent reference-encoder prefix."""
+    ref_labels_valid = use_valid_labels(cfg, ref_labels)
+    variables = {"params": params_G["G"], **aux_G["G"]}
+    return models.netG.apply(variables, ref_labels_valid, ref_images,
+                             method=models.netG.encode_reference_multi,
+                             mutable=False)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 7))
 def frame_step_jit(cfg: Config, models: ModelBundle, params_G, aux_G, cache,
                    batch, prevs, has_prev: bool):
@@ -69,7 +80,8 @@ def frame_step_jit(cfg: Config, models: ModelBundle, params_G, aux_G, cache,
     else:
         out = models.netG.apply(
             variables, label_valid, ref_labels_valid, ref_images,
-            prev_l, prev_i, warp_prev=warp_prev, train=False, mutable=False)
+            prev_l, prev_i, warp_prev=warp_prev, train=False, mutable=False,
+            prefix=cache)
         ref_idx = out["ref_idx"]
 
     fake_image = out["img_final"]
@@ -132,7 +144,9 @@ class InferencePipeline:
                 cfg, self.models, self.params_G, self.aux_G, ref_labels,
                 ref_images, first_label)
         else:
-            self.cache = None
+            self.cache = encode_reference_multi_jit(
+                cfg, self.models, self.params_G, self.aux_G, ref_labels,
+                ref_images)
         b, _, h, w, _ = ref_labels.shape
         cl = use_valid_labels(cfg, ref_labels).shape[-1]
         n = max(1, cfg.n_frames_G - 1)
@@ -167,22 +181,26 @@ def run_sequence(cfg: Config, models: ModelBundle, params_G, aux_G,
     label_valid0 = use_valid_labels(cfg, first_label)
     variables = {"params": params_G["G"], **aux_G["G"]}
 
-    cache = None
     if cfg.n_shot == 1:
         cache = models.netG.apply(variables, ref_labels_valid, ref_images,
                                   label_valid0,
                                   method=models.netG.encode_reference,
                                   mutable=False)
+    else:
+        cache = models.netG.apply(variables, ref_labels_valid, ref_images,
+                                  method=models.netG.encode_reference_multi,
+                                  mutable=False)
 
     def synth(label_valid, prev_l, prev_i, warp_prev):
-        if cache is not None:
+        if cfg.n_shot == 1:
             return models.netG.apply(
                 variables, label_valid, ref_labels_valid, ref_images, cache,
                 prev_l, prev_i, warp_prev=warp_prev,
                 method=models.netG.synthesize, mutable=False)
         return models.netG.apply(
             variables, label_valid, ref_labels_valid, ref_images,
-            prev_l, prev_i, warp_prev=warp_prev, train=False, mutable=False)
+            prev_l, prev_i, warp_prev=warp_prev, train=False, mutable=False,
+            prefix=cache)
 
     # frame 0 (no prevs)
     out0 = synth(label_valid0, None, None, False)

@@ -251,7 +251,8 @@ class FewShotGenerator(nn.Module):
             x = layer(x, train)
         return x
 
-    def _attention_module(self, x, x_label, label, label_ref, train=False):
+    def _attention_module(self, x, x_label, label, label_ref, train=False,
+                          key=None):
         """Multi-reference spatial attention (generator.py:298-316), computed
         in query chunks with a streaming softmax so the (B, K*hw, hw) energy
         matrix is never materialized — at K=8, 512px the dense matrix is
@@ -259,13 +260,15 @@ class FewShotGenerator(nn.Module):
         blowup); chunked, memory is O(K*hw * chunk).
 
         x (and optionally x_label): (B*K, h, w, c) features to combine.
+        key: precomputed reference-key encoding (K>1 eval cache) or None.
         Returns (out_x, out_label, atn_sum (B,K), atn_vis)."""
         bk, h, w, c = x.shape
         n = self.cfg.n_shot
         b = bk // n
         hw = h * w
-        key = self._attention_encode(label_ref, self.atn_key_first,
-                                     self.atn_key, train)
+        if key is None:
+            key = self._attention_encode(label_ref, self.atn_key_first,
+                                         self.atn_key, train)
         query = self._attention_encode(label, self.atn_query_first,
                                        self.atn_query, train)
         key = key.reshape(b, n * hw, c)
@@ -312,11 +315,12 @@ class FewShotGenerator(nn.Module):
     # ------------------------------------------------------------------
     # reference encoding (generator.py:341-393)
     # ------------------------------------------------------------------
-    def _reference_encoding(self, img_ref, label_ref, label, need_encoded_ref,
-                            train):
-        """img_ref/label_ref flattened to (B*K, H, W, C)."""
-        cfg = self.cfg
-        n = cfg.n_shot
+    def _ref_encode_prefix(self, img_ref, label_ref, train):
+        """Label-independent part of the reference encoding: first convs +
+        downs up to the attention point, and the attention keys.  At eval
+        with K>1 this is the bulk of the per-frame cost and can be computed
+        once per clip (encode_reference_multi) — the torch reference re-runs
+        it every frame (generator.py:354-357)."""
         if self.concat_label_ref:
             x = self.ref_img_first(
                 jnp.concatenate([img_ref, label_ref], axis=-1), train)
@@ -324,20 +328,42 @@ class FewShotGenerator(nn.Module):
         else:
             x = self.ref_img_first(img_ref, train)
             x_label = self.ref_label_first(label_ref, train)
-
-        atn = atn_vis = ref_idx = None
-        for i in range(self.nd):
+        n_pre = (min(self.cfg.n_downsample_A, self.nd)
+                 if self.cfg.n_shot > 1 else 0)
+        for i in range(n_pre):
             x = self.ref_img_down[i](x, train)
             if self.mul_label_ref:
                 x_label = self.ref_label_down[i](x_label, train)
-            if n > 1 and i == cfg.n_downsample_A - 1:
-                x, x_label_atn, atn_sum, atn_vis = self._attention_module(
-                    x, x_label if self.mul_label_ref else None,
-                    label, label_ref, train=train)
-                if self.mul_label_ref:
-                    x_label = x_label_atn
-                atn = atn_sum  # per-reference attention mass
-                ref_idx = jnp.argmax(atn_sum, axis=1)
+        key = None
+        if self.cfg.n_shot > 1 and 1 <= self.cfg.n_downsample_A <= self.nd:
+            key = self._attention_encode(label_ref, self.atn_key_first,
+                                         self.atn_key, train)
+        return dict(x=x, x_label=x_label, key=key)
+
+    def _reference_encoding(self, img_ref, label_ref, label, need_encoded_ref,
+                            train, prefix=None):
+        """img_ref/label_ref flattened to (B*K, H, W, C).  prefix: cached
+        _ref_encode_prefix output (K>1 eval fast path) or None."""
+        cfg = self.cfg
+        n = cfg.n_shot
+        if prefix is None:
+            prefix = self._ref_encode_prefix(img_ref, label_ref, train)
+        x, x_label, key = prefix["x"], prefix["x_label"], prefix["key"]
+
+        atn = atn_vis = ref_idx = None
+        if n > 1 and 1 <= cfg.n_downsample_A <= self.nd:
+            x, x_label_atn, atn_sum, atn_vis = self._attention_module(
+                x, x_label if self.mul_label_ref else None,
+                label, label_ref, train=train, key=key)
+            if self.mul_label_ref:
+                x_label = x_label_atn
+            atn = atn_sum  # per-reference attention mass
+            ref_idx = jnp.argmax(atn_sum, axis=1)
+        n_pre = min(cfg.n_downsample_A, self.nd) if n > 1 else 0
+        for i in range(n_pre, self.nd):
+            x = self.ref_img_down[i](x, train)
+            if self.mul_label_ref:
+                x_label = self.ref_label_down[i](x_label, train)
 
         encoded_ref = None
         if need_encoded_ref:
@@ -478,7 +504,7 @@ class FewShotGenerator(nn.Module):
     # weight generation (generator.py:396-422)
     # ------------------------------------------------------------------
     def weight_generation(self, img_refs, label_refs, label, img_coarse=None,
-                          train=False):
+                          train=False, prefix=None):
         """img_refs/label_refs: (B, K, H, W, C).
 
         Returns (x_kld, gen) where gen = dict(embedding_weights, norm_weights,
@@ -487,7 +513,8 @@ class FewShotGenerator(nn.Module):
         img_flat = img_refs.reshape((b * k,) + img_refs.shape[2:])
         label_flat = label_refs.reshape((b * k,) + label_refs.shape[2:])
         x, encoded_ref, atn, atn_vis, ref_idx = self._reference_encoding(
-            img_flat, label_flat, label, need_encoded_ref=True, train=train)
+            img_flat, label_flat, label, need_encoded_ref=True, train=train,
+            prefix=prefix)
         x_kld, mu, logvar = self._compute_kld(x, label, img_coarse, train)
 
         embedding_weights, norm_weights, conv_weights = [], [], []
@@ -663,20 +690,22 @@ class FewShotGenerator(nn.Module):
     # public entry points
     # ------------------------------------------------------------------
     def __call__(self, label, label_refs, img_refs, prev_label=None,
-                 prev_img=None, warp_prev: bool = False, train: bool = False):
+                 prev_img=None, warp_prev: bool = False, train: bool = False,
+                 prefix=None):
         """Full forward (generator.py:181-229).
 
         label: (B,H,W,Cl); label_refs/img_refs: (B,K,H,W,C);
         prev_label/prev_img: (B,H,W,(n_frames_G-1)*C) stacked previous frames
         or None; warp_prev: static flag — the temporal phase
         (init_temporal_network) is a call-time gate here.
+        prefix: cached encode_reference_multi output (K>1 eval fast path).
 
         Returns dict with img_final, flow, flow_mask, img_raw, img_warp, mu,
         logvar, atn_vis, ref_idx.
         """
         cfg = self.cfg
         x, gen = self.weight_generation(img_refs, label_refs, label,
-                                        train=train)
+                                        train=train, prefix=prefix)
         encoded_label = self.label_embedding(
             label, weights=(gen["embedding_weights"] if self.adap_embed else None),
             train=train)
@@ -736,6 +765,18 @@ class FewShotGenerator(nn.Module):
         return dict(x_kld=x, embedding_weights=gen["embedding_weights"],
                     norm_weights=gen["norm_weights"],
                     conv_weights=gen["conv_weights"])
+
+    def encode_reference_multi(self, label_refs, img_refs):
+        """K>1 eval cache: per-reference encoder features up to the attention
+        point + attention keys (all label-independent).  The per-frame
+        forward then only runs the query encode, the attention mix, and the
+        post-attention encoder tail — pass the result as `prefix` to
+        __call__.  The torch reference recomputes the whole K-reference
+        encoder every frame (generator.py:354-357, 403)."""
+        b, k = img_refs.shape[:2]
+        img_flat = img_refs.reshape((b * k,) + img_refs.shape[2:])
+        label_flat = label_refs.reshape((b * k,) + label_refs.shape[2:])
+        return self._ref_encode_prefix(img_flat, label_flat, False)
 
     def synthesize(self, label, label_refs, img_refs, cache, prev_label=None,
                    prev_img=None, warp_prev: bool = False):

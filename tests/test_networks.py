@@ -156,6 +156,31 @@ class TestFewShotGenerator:
         _, _, out = self._init_and_run(cfg)
         assert out["img_final"].shape == (2, 32, 64, 3)
 
+    def test_multi_ref_prefix_cache_matches_full(self, rng):
+        """K>1 eval fast path: forward with the cached label-independent
+        encoder prefix (encode_reference_multi) must equal the full forward
+        (generator.py prefix kwarg)."""
+        cfg = tiny_face_cfg(n_shot=3)
+        model, vs, _ = self._init_and_run(cfg, k=3)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        label = jnp.asarray(rng.randn(2, h, w, cl).astype(np.float32))
+        label_refs = jnp.asarray(rng.randn(2, 3, h, w, cl).astype(np.float32))
+        img_refs = jnp.asarray(
+            np.tanh(rng.randn(2, 3, h, w, 3)).astype(np.float32))
+        prefix = model.apply(vs, label_refs, img_refs,
+                             method=model.encode_reference_multi,
+                             mutable=["spectral", "batch_stats"])[0]
+        fast = model.apply(vs, label, label_refs, img_refs,
+                           warp_prev=False, train=False, prefix=prefix,
+                           mutable=["spectral", "batch_stats"])[0]
+        full = model.apply(vs, label, label_refs, img_refs,
+                           warp_prev=False, train=False,
+                           mutable=["spectral", "batch_stats"])[0]
+        np.testing.assert_allclose(np.asarray(fast["img_final"]),
+                                   np.asarray(full["img_final"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fast["ref_idx"]),
+                                   np.asarray(full["ref_idx"]))
+
     def test_inference_cache_matches_full(self):
         cfg = tiny_face_cfg()
         model, vs, out = self._init_and_run(cfg)
