@@ -588,6 +588,20 @@ class FewShotGenerator(nn.Module):
         (generator.py:448-454)."""
         if not self.cfg.spade_combine:
             return encoded_label
+        if (not train and self.cfg.prev_embedding_is_shared
+                and ds_ref[0] is not None and ds_ref[1] is not None):
+            # Shared embedder at eval: run the ref and prev pyramids as one
+            # 2B-batch call (eval norms use running stats, so identical to
+            # two calls — same trick as the batched flow nets above)
+            b = ds_ref[0].shape[0]
+            both = self.img_ref_embedding(
+                jnp.concatenate([ds_ref[0], ds_ref[1]], axis=0), None, train)
+            enc_ref = [e[:b] for e in both]
+            enc_prev = [e[b:] for e in both]
+            out = list(encoded_label)
+            for i in range(self.cfg.n_sc_layers):
+                out[i] = [encoded_label[i], enc_ref[i], enc_prev[i]]
+            return out
         enc_ref = (self.img_ref_embedding(ds_ref[0], None, train)
                    if ds_ref[0] is not None else None)
         if ds_ref[1] is not None:
@@ -642,10 +656,10 @@ class FewShotGenerator(nn.Module):
                 if i == cfg.n_sc_layers - 1:
                     x_raw = x
                 x_raw = self.up_blocks[i](x_raw, raw_label[i], cw, nw,
-                                          train)
+                                          train, False)
                 if i > n_std:
                     x_raw = upsample_nearest(x_raw)
-            x = self.up_blocks[i](x, encoded_label[i], cw, nw, train)
+            x = self.up_blocks[i](x, encoded_label[i], cw, nw, train, False)
             if i > n_std:
                 x = upsample_nearest(x)
 
@@ -750,7 +764,7 @@ class FewShotGenerator(nn.Module):
         for i in range(self.nd, -1, -1):
             nw = (gen["norm_weights"][i]
                   if self.adap_spade and i < self.n_adaptive else None)
-            x = self.up_blocks[i](x, encoded_label[i], None, nw, train)
+            x = self.up_blocks[i](x, encoded_label[i], None, nw, train, False)
             if i != 0:
                 x = upsample_nearest(x)
         return jnp.tanh(self.conv_img(leaky_relu(x)))

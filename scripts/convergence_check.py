@@ -7,14 +7,25 @@ identical initial weights, same TTUR Adam hyperparameters — through
     (/root/reference/train.py:44-62, models/vid2vid_model.py:47-128), and
   * our jitted train_step (fsvid2vid_tpu/training/step.py),
 
-and compares per-step loss trajectories.  Config: tiny face (ngf=4, 32px),
-fp32, no VGG (torchvision pretrained weights unavailable offline), no flow
-teacher on either side (--no_flow_gt; F_Warp/F_Mask still active).  Spectral
-u/v are burned in on the torch side before import so the reference's
-2-power-iterations-per-step vs our 1 does not dominate early drift.
+and compares per-step loss trajectories.  Default config: tiny face (ngf=4,
+32px), fp32, no VGG, no flow teacher on either side (--no_flow_gt; F_Warp/
+F_Mask still active).  Spectral u/v are burned in on the torch side before
+import so the reference's 2-power-iterations-per-step vs our 1 does not
+dominate early drift.
+
+The quality-tracked long run (VERDICT r2 #4) adds:
+  --vgg          perceptual loss ACTIVE in both stacks, driven by the SAME
+                 seeded-random torchvision-layout vgg19 state_dict loaded
+                 into both (reference_loader.save_random_vgg19 — ImageNet
+                 weights are not downloadable here; an identical random VGG
+                 is the identical loss function on both sides)
+  --lpips-every N track LPIPS(fake, target) for BOTH stacks every N steps
+                 with one shared (uncalibrated, deterministic) LPIPS net —
+                 a training-quality curve comparable across stacks.
 
 Usage: python scripts/convergence_check.py [STEPS] [OUT.json]
-Emits one JSON line per step with both loss dicts, then a summary.
+           [--ngf N] [--size S] [--vgg] [--lpips-every N]
+Emits one JSON line per step with both loss dicts (+ lpips), then a summary.
 """
 import json
 import sys
@@ -26,6 +37,8 @@ import numpy as np
 SIZE = 32
 BS = 2
 NGF = 4
+USE_VGG = False
+VGG_PATH = "/tmp/convergence_vgg19.pt"
 
 LOSS_KEYS = ["G_GAN", "G_GAN_Feat", "F_Warp", "F_Mask",
              "D_real", "D_fake"]
@@ -82,10 +95,13 @@ def make_batches(n_steps, n_seq=8, n_frames=12):
 # torch reference side
 # ----------------------------------------------------------------------
 
-def run_torch(batches, state_out):
+def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
     sys.path.insert(0, "/root/repo/tests")
-    from reference_loader import load_reference_modules, make_reference_opt
+    from reference_loader import (load_reference_modules, make_reference_opt,
+                                  install_vgg19_weights)
     load_reference_modules()
+    if USE_VGG:
+        install_vgg19_weights(VGG_PATH)
     import torch
     from models.vid2vid_model import Vid2VidModel
     from models.loss_collector import loss_backward
@@ -93,7 +109,7 @@ def run_torch(batches, state_out):
     opt = make_reference_opt(
         ngf=NGF, nff=NGF, ndf=NGF, fineSize=SIZE, loadSize=SIZE,
         n_blocks_F=2, n_downsample_G=3, n_adaptive_layers=2,
-        isTrain=True, no_vgg_loss=True, no_flow_gt=True,
+        isTrain=True, no_vgg_loss=not USE_VGG, no_flow_gt=True,
         gan_mode="hinge", lambda_feat=10.0, lambda_vgg=10.0,
         lambda_flow=10.0, lambda_mask=10.0, lambda_temp=0.0,
         lambda_face=10.0, lambda_kld=0.0,
@@ -142,7 +158,7 @@ def run_torch(batches, state_out):
                 "D": model.netD.state_dict()}, state_out)
 
     records = []
-    for b in batches:
+    for step, b in enumerate(batches):
         tl = torch.from_numpy(b["tgt_label"].transpose(0, 3, 1, 2))[:, None]
         ti = torch.from_numpy(b["tgt_image"].transpose(0, 3, 1, 2))[:, None]
         rl = torch.from_numpy(b["ref_labels"].transpose(0, 1, 4, 2, 3))
@@ -151,11 +167,18 @@ def run_torch(batches, state_out):
                      None, None, None]
         d_losses = model(data_list, mode="discriminator")
         d_losses = loss_backward(opt, d_losses, model.optimizer_D, 1)
-        g_losses, _, _ = model(data_list, mode="generator")
+        want_img = lpips_cb is not None and lpips_every \
+            and step % lpips_every == 0
+        g_losses, generated, _ = model(data_list, mode="generator",
+                                       save_images=bool(want_img))
         g_losses = loss_backward(opt, g_losses, model.optimizer_G, 0)
         names = model.lossCollector.loss_names
         vals = dict(zip(names, [float(v.mean()) for v in
                                 list(g_losses) + list(d_losses)]))
+        if want_img:
+            fake = generated[0].detach().float().reshape(-1, 3, SIZE, SIZE)
+            fake_np = fake.numpy().transpose(0, 2, 3, 1)
+            vals["lpips"] = lpips_cb(fake_np, b["tgt_image"])
         records.append(vals)
     return records
 
@@ -164,7 +187,7 @@ def run_torch(batches, state_out):
 # our side
 # ----------------------------------------------------------------------
 
-def run_ours(batches, state_in):
+def run_ours(batches, state_in, lpips_cb=None, lpips_every=0):
     import torch
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -173,11 +196,12 @@ def run_ours(batches, state_in):
     from fsvid2vid_tpu.training.state import build_models, init_state
     from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
     from fsvid2vid_tpu.utils.torch_port import (
-        import_fewshot_generator, import_discriminator)
+        import_fewshot_generator, import_discriminator, import_vgg19)
 
     cfg = face_config(ngf=NGF, nff=NGF, ndf=NGF, fine_size=SIZE,
                       load_size=SIZE, n_blocks_F=2, n_downsample_G=3,
-                      n_adaptive_layers=2, batch_size=BS, no_vgg_loss=True,
+                      n_adaptive_layers=2, batch_size=BS,
+                      no_vgg_loss=not USE_VGG,
                       compute_dtype="float32", is_train=True)
     models = build_models(cfg)
     b0 = batches[0]
@@ -199,16 +223,25 @@ def run_ours(batches, state_in):
         params_D=dict(state.params_D, D=vD["params"]),
         aux_D=dict(state.aux_D,
                    D={k: v for k, v in vD.items() if k != "params"}))
+    if USE_VGG:
+        state = state.replace(vgg_params=jax.tree.map(
+            jnp.asarray,
+            import_vgg19(jax.device_get(state.vgg_params), VGG_PATH)))
 
     flags = StepFlags(warp_prev=False, has_prev=False)
     prevs = init_prevs(cfg, sample)
     records = []
-    for b in batches:
+    for step, b in enumerate(batches):
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         batch.update(flow_gt=[None, None], conf_gt=[None, None])
-        state, prevs, losses, _ = train_step(cfg, models, state, batch, prevs,
-                                          flags, jax.random.PRNGKey(0))
-        records.append({k: float(v) for k, v in losses.items()})
+        state, prevs, losses, vis = train_step(cfg, models, state, batch,
+                                               prevs, flags,
+                                               jax.random.PRNGKey(0))
+        vals = {k: float(v) for k, v in losses.items()}
+        if lpips_cb is not None and lpips_every and step % lpips_every == 0:
+            vals["lpips"] = lpips_cb(np.asarray(vis["fake_image"]),
+                                     b["tgt_image"])
+        records.append(vals)
     return records
 
 
@@ -223,23 +256,56 @@ def ema(xs, a=0.05):
 def main():
     # argv parsed here (NOT at module scope) so pytest can import this module
     # with arbitrary command-line arguments present (VERDICT r2 weak #1).
-    STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
-    OUT = sys.argv[2] if len(sys.argv) > 2 else "convergence.json"
-    batches = make_batches(STEPS)
-    print(f"[data: {len(batches)} steps of bs{BS} {SIZE}px]", flush=True)
-    t_rec = run_torch(batches, "/tmp/convergence_init.pt")
+    global SIZE, NGF, USE_VGG
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("steps", nargs="?", type=int, default=300)
+    p.add_argument("out", nargs="?", default="convergence.json")
+    p.add_argument("--ngf", type=int, default=NGF)
+    p.add_argument("--size", type=int, default=SIZE)
+    p.add_argument("--vgg", action="store_true")
+    p.add_argument("--lpips-every", type=int, default=0)
+    a = p.parse_args()
+    SIZE, NGF, USE_VGG = a.size, a.ngf, a.vgg
+
+    lpips_cb = None
+    if a.lpips_every:
+        # ONE deterministic (uncalibrated) LPIPS net shared by both stacks
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from fsvid2vid_tpu.eval.metrics import make_lpips
+        model_lpips = make_lpips()
+
+        def lpips_cb(fake_np, tgt_np):  # noqa: F811
+            d = model_lpips(np.asarray(fake_np, np.float32),
+                            np.asarray(tgt_np, np.float32))
+            return float(np.mean(np.asarray(d)))
+
+    if USE_VGG:
+        sys.path.insert(0, "/root/repo/tests")
+        from reference_loader import save_random_vgg19
+        save_random_vgg19(VGG_PATH, seed=0)
+        print(f"[vgg19 (seeded random) -> {VGG_PATH}]", flush=True)
+
+    batches = make_batches(a.steps)
+    print(f"[data: {len(batches)} steps of bs{BS} {SIZE}px ngf{NGF} "
+          f"vgg={USE_VGG}]", flush=True)
+    t_rec = run_torch(batches, "/tmp/convergence_init.pt", lpips_cb,
+                      a.lpips_every)
     print("[torch reference done]", flush=True)
-    j_rec = run_ours(batches, "/tmp/convergence_init.pt")
+    j_rec = run_ours(batches, "/tmp/convergence_init.pt", lpips_cb,
+                     a.lpips_every)
     print("[ours done]", flush=True)
 
-    with open(OUT, "w") as f:
+    with open(a.out, "w") as f:
         for i, (t, j) in enumerate(zip(t_rec, j_rec)):
             f.write(json.dumps({"step": i, "torch": t, "ours": j}) + "\n")
 
     print(f"{'loss':12s} {'step1 torch':>12s} {'step1 ours':>12s} "
           f"{'emaN torch':>12s} {'emaN ours':>12s}")
     ok = True
-    for k in LOSS_KEYS:
+    keys = LOSS_KEYS + (["G_VGG"] if USE_VGG else [])
+    for k in keys:
         ts = [r[k] for r in t_rec]
         js = [r[k] for r in j_rec]
         e_t, e_j = ema(ts)[-1], ema(js)[-1]
@@ -247,6 +313,13 @@ def main():
         if abs(ts[0] - js[0]) > 0.02 * max(1.0, abs(ts[0])):
             ok = False
             print(f"  !! step-1 mismatch on {k}")
+    if a.lpips_every:
+        t_l = [r["lpips"] for r in t_rec if "lpips" in r]
+        j_l = [r["lpips"] for r in j_rec if "lpips" in r]
+        print("LPIPS curve (torch):", " ".join(f"{v:.4f}" for v in t_l))
+        print("LPIPS curve (ours): ", " ".join(f"{v:.4f}" for v in j_l))
+        if t_l and j_l:
+            print(f"LPIPS final: torch {t_l[-1]:.4f} ours {j_l[-1]:.4f}")
     # hinge-GAN operating band: D losses stay bounded away from 0 and 2
     d_band = ema([r["D_real"] + r["D_fake"] for r in j_rec])[-1]
     print(f"D_real+D_fake EMA (ours): {d_band:.3f}")

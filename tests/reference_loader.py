@@ -47,6 +47,59 @@ def load_reference_modules():
     _LOADED = True
 
 
+VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+             512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+def build_torch_vgg19(seed=None):
+    """A torch module whose `.features` matches torchvision vgg19.features
+    layer indexing exactly (conv/ReLU/MaxPool sequence of cfg E) — lets the
+    reference's VGG_Activations/Vgg19 run without torchvision.  With `seed`,
+    weights are deterministically random (this environment cannot download
+    the ImageNet checkpoint; an identical random VGG in both stacks is still
+    the same perceptual loss function on both sides)."""
+    import torch.nn as nn
+    if seed is not None:
+        torch.manual_seed(seed)
+    layers, cin = [], 3
+    for v in VGG19_CFG:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(cin, v, 3, padding=1))
+            layers.append(nn.ReLU(inplace=True))
+            cin = v
+
+    class _VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+
+    return _VGG()
+
+
+def save_random_vgg19(path, seed=0):
+    """Seeded random torchvision-layout vgg19 state_dict (features.N.*)."""
+    m = build_torch_vgg19(seed=seed)
+    torch.save(m.state_dict(), path)
+    return path
+
+
+def install_vgg19_weights(path):
+    """Point the torchvision shim's vgg19() at a real module loading `path`
+    (state dict in torchvision features.N.* layout).  After this, reference
+    code paths that construct VGGLoss work (loss.py:110)."""
+    load_reference_modules()
+    tv_models = sys.modules["torchvision.models"]
+
+    def vgg19(pretrained=False, **kw):
+        m = build_torch_vgg19()
+        m.load_state_dict(torch.load(path, weights_only=True))
+        return m.eval()
+
+    tv_models.vgg19 = vgg19
+
+
 def make_reference_opt(**overrides):
     """Face-256 default opt namespace (scripts/face/test_256.sh flags)."""
     opt = types.SimpleNamespace(
