@@ -180,6 +180,10 @@ def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
             fake_np = fake.numpy().transpose(0, 2, 3, 1)
             vals["lpips"] = lpips_cb(fake_np, b["tgt_image"])
         records.append(vals)
+        if step % 100 == 0:
+            print(f"[torch step {step}: G_GAN {vals.get('G_GAN', 0):.4f}"
+                  + (f" lpips {vals['lpips']:.4f}" if "lpips" in vals else ""),
+                  flush=True)
     return records
 
 
@@ -242,6 +246,10 @@ def run_ours(batches, state_in, lpips_cb=None, lpips_every=0):
             vals["lpips"] = lpips_cb(np.asarray(vis["fake_image"]),
                                      b["tgt_image"])
         records.append(vals)
+        if step % 100 == 0:
+            print(f"[ours step {step}: G_GAN {vals.get('G_GAN', 0):.4f}"
+                  + (f" lpips {vals['lpips']:.4f}" if "lpips" in vals else ""),
+                  flush=True)
     return records
 
 
