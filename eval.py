@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--fake_dir", required=True)
     ap.add_argument("--vgg16_ckpt", default="")
     ap.add_argument("--lpips_ckpt", default="")
+    ap.add_argument("--inception_ckpt", default="",
+                    help="torchvision-layout inception_v3 state_dict; when "
+                         "given, FID uses standard InceptionV3 pool3 features")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--how_many", type=int, default=0,
                     help="cap on frame pairs (0 = all)")
@@ -75,7 +78,14 @@ def main():
 
     lpips_model = M.make_lpips(args.vgg16_ckpt or None,
                                args.lpips_ckpt or None)
-    extractor = M.make_vgg_fid_extractor(lpips_model)
+    if args.inception_ckpt:
+        from fsvid2vid_tpu.eval.inception import make_inception_extractor
+        extractor = make_inception_extractor(args.inception_ckpt)
+        fid_space = "inception-v3-pool3"
+    else:
+        extractor = M.make_vgg_fid_extractor(lpips_model)
+        fid_space = ("vgg16-relu4_3" +
+                     ("" if lpips_model.calibrated else "-random"))
     import jax
     lpips_fn = jax.jit(lpips_model.__call__)
     psnr_fn = jax.jit(M.psnr)
@@ -100,8 +110,7 @@ def main():
         "lpips": float(lp.mean()),
         "lpips_calibrated": lpips_model.calibrated,
         "fid": fid,
-        "fid_feature_space": ("vgg16-relu4_3" +
-                              ("" if lpips_model.calibrated else "-random")),
+        "fid_feature_space": fid_space,
         "psnr_db": float(ps.mean()),
         "ssim": float(ss.mean()),
     }))
