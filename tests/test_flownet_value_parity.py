@@ -3,8 +3,6 @@
 Every sub-network (S, SD, Fusion, C) and the full FlowNet2 cascade are run on
 CPU against the reference classes from /root/reference with weights exported
 from torch and imported through utils/torch_port.import_flownet2.  The three
-
-pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
 CUDA extensions are shimmed on the torch side with pure-torch implementations
 whose semantics equal our XLA ops (tests/reference_loader.py), so any mismatch
 localizes to the conv-graph port.  The flow teacher defines the training flow
@@ -24,6 +22,8 @@ from fsvid2vid_tpu.models.flownet.flownet2 import (
     FlowNet2, FlowNetC, FlowNetS, FlowNetSD, FlowNetFusion)
 from fsvid2vid_tpu.utils.torch_port import import_flownet2
 from reference_loader import load_flownet2_reference
+
+pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
 
 
 @pytest.fixture(scope="module")

@@ -101,6 +101,7 @@ class TestGeneratorSpd:
                                    np.asarray(out_plain["img_final"]),
                                    atol=2e-5)
 
+    @pytest.mark.slow
     def test_eval_matches_plain_raw_output(self):
         out_std, out_plain = self._run_pair(add_raw_output_loss=True)
         np.testing.assert_allclose(np.asarray(out_std["img_final"]),
