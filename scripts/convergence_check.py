@@ -191,11 +191,25 @@ def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
 # our side
 # ----------------------------------------------------------------------
 
-def run_ours(batches, state_in, lpips_cb=None, lpips_every=0):
+def run_ours(batches, state_in, lpips_cb=None, lpips_every=0, sn2=False):
     import torch
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    if sn2:
+        # EXPERIMENT (--sn2): advance spectral u/v twice per step.  The torch
+        # reference runs every net's forward twice per training iteration
+        # (no-grad D phase + grad G phase), advancing each u/v estimate 2x
+        # per step; our single-generation step advances 1x.  This isolates
+        # whether that difference drives the long-horizon GAN drift.
+        import fsvid2vid_tpu.models.layers as _layers
+        _orig = _layers.spectral_normalize
+
+        def _sn_twice(w, u, v, update):
+            if update:
+                _, u, v = _orig(w, u, v, True)
+            return _orig(w, u, v, update)
+        _layers.spectral_normalize = _sn_twice
     from fsvid2vid_tpu.config import face_config
     from fsvid2vid_tpu.training.state import build_models, init_state
     from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
@@ -273,6 +287,14 @@ def main():
     p.add_argument("--size", type=int, default=SIZE)
     p.add_argument("--vgg", action="store_true")
     p.add_argument("--lpips-every", type=int, default=0)
+    p.add_argument("--sn2", action="store_true",
+                   help="ours-side: 2 spectral power iterations per step "
+                        "(matches the reference's 2-forwards-per-iteration "
+                        "u/v advancement)")
+    p.add_argument("--reuse-torch", default="",
+                   help="JSONL from a previous identical run: skip the torch "
+                        "stack and reuse its records (requires the matching "
+                        "/tmp/convergence_init.pt from that run)")
     a = p.parse_args()
     SIZE, NGF, USE_VGG = a.size, a.ngf, a.vgg
 
@@ -297,12 +319,19 @@ def main():
 
     batches = make_batches(a.steps)
     print(f"[data: {len(batches)} steps of bs{BS} {SIZE}px ngf{NGF} "
-          f"vgg={USE_VGG}]", flush=True)
-    t_rec = run_torch(batches, "/tmp/convergence_init.pt", lpips_cb,
-                      a.lpips_every)
-    print("[torch reference done]", flush=True)
+          f"vgg={USE_VGG} sn2={a.sn2}]", flush=True)
+    if a.reuse_torch:
+        with open(a.reuse_torch) as f:
+            t_rec = [json.loads(line)["torch"] for line in f]
+        assert len(t_rec) >= a.steps, "cached torch run too short"
+        t_rec = t_rec[:a.steps]
+        print(f"[torch records reused from {a.reuse_torch}]", flush=True)
+    else:
+        t_rec = run_torch(batches, "/tmp/convergence_init.pt", lpips_cb,
+                          a.lpips_every)
+        print("[torch reference done]", flush=True)
     j_rec = run_ours(batches, "/tmp/convergence_init.pt", lpips_cb,
-                     a.lpips_every)
+                     a.lpips_every, sn2=a.sn2)
     print("[ours done]", flush=True)
 
     with open(a.out, "w") as f:
