@@ -164,6 +164,10 @@ class Config:
     spd_inference: bool = True       # space-to-depth layout for small-channel
     # full-res conv stages at eval (ops/spd.py) — exact math, 128-lane packing
     flow_teacher: str = "flownet2"   # 'flownet2' | 'none'
+    sn_power_iters: int = 1          # spectral u/v power iterations per step;
+    # 1 = exact step-1 parity with the reference's D phase, 2 = match its
+    # effective 2-forwards-per-iteration advancement (long-horizon GAN
+    # dynamics, measured in docs/CONVERGENCE.md "Drift diagnosis")
     debug: bool = False
 
     # ------------------------------------------------------------------

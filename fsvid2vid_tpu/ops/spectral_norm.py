@@ -20,6 +20,22 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# Power iterations per training step.  torch advances u/v once per FORWARD
+# and the reference runs every net's forward twice per training iteration
+# (no-grad D phase + grad G phase), so its effective advancement is 2x/step;
+# our single-generation step advances 1x.  Default 1 preserves exact step-1
+# parity with the reference's D phase; 2 matches its long-horizon dynamics
+# (measured: docs/CONVERGENCE.md "Drift diagnosis").  Set once before model
+# tracing via set_power_iters (training/state.py::build_models reads
+# cfg.sn_power_iters); the value is baked into traced programs.
+_POWER_ITERS = 1
+
+
+def set_power_iters(n: int) -> None:
+    global _POWER_ITERS
+    assert n >= 1
+    _POWER_ITERS = int(n)
+
 
 def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
     return x / (jnp.linalg.norm(x) + _EPS)
@@ -29,13 +45,15 @@ def spectral_normalize(w_mat: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                        update: bool) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Normalize a (dout, din) matrix by its leading singular value.
 
-    Returns (sigma, new_u, new_v).  When `update`, runs one power iteration
-    (torch does this in train mode); otherwise uses the stored vectors.
+    Returns (sigma, new_u, new_v).  When `update`, runs _POWER_ITERS power
+    iterations (torch does one per forward in train mode); otherwise uses
+    the stored vectors.
     """
     w32 = w_mat.astype(jnp.float32)
     if update:
-        v = _l2norm(jax.lax.stop_gradient(w32).T @ u)
-        u = _l2norm(jax.lax.stop_gradient(w32) @ v)
+        for _ in range(_POWER_ITERS):
+            v = _l2norm(jax.lax.stop_gradient(w32).T @ u)
+            u = _l2norm(jax.lax.stop_gradient(w32) @ v)
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     sigma = u @ (w32 @ v)

@@ -65,6 +65,8 @@ def face_refiner_config(cfg: Config) -> Config:
 
 
 def build_models(cfg: Config) -> ModelBundle:
+    from fsvid2vid_tpu.ops.spectral_norm import set_power_iters
+    set_power_iters(cfg.sn_power_iters)
     netG = FewShotGenerator(cfg)
     netGf = None
     if cfg.refine_face:

@@ -196,30 +196,20 @@ def run_ours(batches, state_in, lpips_cb=None, lpips_every=0, sn2=False):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    if sn2:
-        # EXPERIMENT (--sn2): advance spectral u/v twice per step.  The torch
-        # reference runs every net's forward twice per training iteration
-        # (no-grad D phase + grad G phase), advancing each u/v estimate 2x
-        # per step; our single-generation step advances 1x.  This isolates
-        # whether that difference drives the long-horizon GAN drift.
-        import fsvid2vid_tpu.models.layers as _layers
-        _orig = _layers.spectral_normalize
-
-        def _sn_twice(w, u, v, update):
-            if update:
-                _, u, v = _orig(w, u, v, True)
-            return _orig(w, u, v, update)
-        _layers.spectral_normalize = _sn_twice
     from fsvid2vid_tpu.config import face_config
     from fsvid2vid_tpu.training.state import build_models, init_state
     from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
     from fsvid2vid_tpu.utils.torch_port import (
         import_fewshot_generator, import_discriminator, import_vgg19)
 
+    # --sn2: advance spectral u/v twice per step (cfg.sn_power_iters=2) —
+    # matches the reference's effective 2-forwards-per-iteration advancement;
+    # measured effect in docs/CONVERGENCE.md "Drift diagnosis".
     cfg = face_config(ngf=NGF, nff=NGF, ndf=NGF, fine_size=SIZE,
                       load_size=SIZE, n_blocks_F=2, n_downsample_G=3,
                       n_adaptive_layers=2, batch_size=BS,
                       no_vgg_loss=not USE_VGG,
+                      sn_power_iters=2 if sn2 else 1,
                       compute_dtype="float32", is_train=True)
     models = build_models(cfg)
     b0 = batches[0]

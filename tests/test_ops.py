@@ -167,6 +167,25 @@ class TestSpectralNorm:
         top = np.linalg.svd(np.asarray(mat), compute_uv=False)[0]
         np.testing.assert_allclose(float(sigma), top, rtol=1e-4)
 
+    def test_power_iters_knob(self, rng):
+        """cfg.sn_power_iters=2 == applying the 1-iteration update twice
+        (docs/CONVERGENCE.md drift diagnosis)."""
+        from fsvid2vid_tpu.ops.spectral_norm import set_power_iters
+        mat = jnp.asarray(rng.randn(8, 12).astype(np.float32))
+        u = jnp.asarray(rng.randn(8).astype(np.float32))
+        v = jnp.asarray(rng.randn(12).astype(np.float32))
+        _, u1, v1 = spectral_normalize(mat, u, v, update=True)
+        s_twice, u2, v2 = spectral_normalize(mat, u1, v1, update=True)
+        try:
+            set_power_iters(2)
+            s_knob, uk, vk = spectral_normalize(mat, u, v, update=True)
+        finally:
+            set_power_iters(1)
+        np.testing.assert_allclose(np.asarray(s_knob), np.asarray(s_twice),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(uk), np.asarray(u2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(vk), np.asarray(v2), rtol=1e-6)
+
 
 class TestImageOps:
     def test_channel_norm(self, rng):

@@ -67,6 +67,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="rematerialize generator up blocks in the backward "
                         "(halves activation memory; pose default)")
     p.add_argument("--no_flow_gt", action="store_true")
+    p.add_argument("--sn_power_iters", type=int, default=None,
+                   help="spectral power iterations per step (2 matches the "
+                        "reference's effective advancement; docs/CONVERGENCE.md)")
     p.add_argument("--lambda_temp", type=float, default=None)
     p.add_argument("--load_pretrain", type=str, default=None,
                    help="checkpoint dir to warm-start network weights from "
