@@ -75,6 +75,25 @@ class TestServingExport:
             np.testing.assert_allclose(got, want, atol=2e-2, err_msg=f"t={t}")
             assert np.isfinite(got).all()
 
+    def test_multi_reference_export(self, rng, tmp_path):
+        """K>1 export: encode.hlo carries the label-independent prefix and
+        the step program runs attention per frame (serve.py n_shot>1 path)."""
+        cfg = _tiny_cfg(n_shot=2)
+        models = build_models(cfg)
+        variables = _init_variables(cfg, models.netG, rng)
+        out_dir = str(tmp_path / "artifacts")
+        export_serving(cfg, models.netG, variables, out_dir)
+
+        session = load_serving(out_dir)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        session.reset(rng.randn(1, 2, h, w, cl).astype(np.float32),
+                      np.tanh(rng.randn(1, 2, h, w, 3)).astype(np.float32))
+        frames = [session.step(rng.randn(1, h, w, cl).astype(np.float32))
+                  for _ in range(2)]
+        for f in frames:
+            assert f.shape == (1, h, w, 3)
+            assert np.isfinite(np.asarray(f.astype(jnp.float32))).all()
+
     def test_artifacts_load_without_model_code(self, rng, tmp_path):
         """The session must run from the serialized artifacts alone (fresh
         process simulation: new session object, no ModelBundle)."""
