@@ -101,6 +101,15 @@ m = u.module_from_spec(spec); spec.loader.exec_module(m)
 m.main()
 """
 
+FLOWGEN = """
+import sys
+sys.argv = ["flowgen_bench.py", "512"]
+import importlib.util as u
+spec = u.spec_from_file_location("fb", "scripts/flowgen_bench.py")
+m = u.module_from_spec(spec); spec.loader.exec_module(m)
+m.main()
+"""
+
 
 def main():
     t0 = time.time()
@@ -123,6 +132,7 @@ def main():
     run("bench flagship", FLAGSHIP, 3600)
     run("bench latency", LATENCY, 3600)
     run("train_bench pose", TRAIN_POSE, 5400)
+    run("flowgen ablation 512", FLOWGEN, 5400)
     return 0
 
 
