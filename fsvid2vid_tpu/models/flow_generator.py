@@ -31,10 +31,15 @@ class FlowGenerator(nn.Module):
     n_frames_G: int = 2
 
     @nn.compact
-    def __call__(self, label, label_prev, img_prev, train: bool = False):
+    def __call__(self, label, label_prev, img_prev, train: bool = False,
+                 probe: str | None = None):
         """label: (B,H,W,Cl); label_prev: (B,H,W,(n-1)*Cl); img_prev: (B,H,W,(n-1)*3).
 
-        Returns (flow (B,H,W,2), mask (B,H,W,1))."""
+        Returns (flow (B,H,W,2), mask (B,H,W,1)).
+
+        `probe` is a bench-only early exit for per-stage cost attribution
+        (scripts/flowgen_bench.py): "trunk" returns after the downsample
+        trunk, "res" after the resblocks.  Never set in the framework."""
         cfg = self.cfg
         nf = cfg.nff
         norm = cfg.norm_F
@@ -87,9 +92,15 @@ class FlowGenerator(nn.Module):
             for i in range(nd):
                 h = plain_nc(downs[i], h)
 
+        if probe == "trunk":
+            return h
+
         for i in range(cfg.n_blocks_F):
             h = SpadeResnetBlock(ch[nd], ch[nd], norm=norm,
                                  name=f"res_{i}")(h, train=train)
+
+        if probe == "res":
+            return h
 
         if use_spd:
             for i in reversed(range(2, nd)):

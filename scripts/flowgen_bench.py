@@ -90,12 +90,13 @@ def main():
             return [x for x in flow + mask if x is not None]
         return netG.apply(var_all, lbl, method=m, mutable=False)
 
-    def net2b(lbl):
+    def net2b(lbl, probe=None):
         def m(g, lb):
             return g.flow_network_ref(
                 jnp.concatenate([lb, lb], 0),
                 jnp.concatenate([ref_l[:, 0], prev_l], 0),
-                jnp.concatenate([ref_i[:, 0], prev_i], 0), train=False)
+                jnp.concatenate([ref_i[:, 0], prev_i], 0), train=False,
+                probe=probe)
         return netG.apply(var_all, lbl, method=m, mutable=False)
 
     img2 = jnp.concatenate([ref_i[:, 0], prev_i], 0)
@@ -110,6 +111,10 @@ def main():
     timeit("flow_generation (flows only, warp DCEd)", fg_flows_only, sets,
            overhead)
     timeit("flow net on 2B batch", net2b, sets, overhead)
+    timeit("flow net 2B (trunk only)", lambda l: net2b(l, "trunk"), sets,
+           overhead)
+    timeit("flow net 2B (trunk+res)", lambda l: net2b(l, "res"), sets,
+           overhead)
     timeit("flow_warp on 2B images", warp2b, sets, overhead)
 
 
