@@ -17,6 +17,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA CPU
+# compiles of many distinct tiny programs; caching them makes repeat runs
+# (the common case when iterating) start warm.  Keyed per backend, see
+# fsvid2vid_tpu/cache.py.
+from fsvid2vid_tpu.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import resource
 
 # XLA's CPU compiler recurses deeply on the big fused programs in this suite;

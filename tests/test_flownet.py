@@ -157,7 +157,10 @@ class TestFlowTeacher:
         assert flow_gt2[1] is None and flow_gt2[0] is not None
 
 
+@pytest.mark.slow
 class TestVariants:
+    """FlowNet2 sub-variants are shipped for completeness but unused by the
+    vid2vid model family (PARITY.md) — slow tier."""
     @pytest.mark.parametrize("cls_name", ["FlowNet2C", "FlowNet2S",
                                           "FlowNet2SD", "FlowNet2CS",
                                           "FlowNet2CSS"])

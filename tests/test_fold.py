@@ -46,6 +46,7 @@ class TestFoldSpectralNorm:
         np.testing.assert_allclose(np.asarray(live), np.asarray(folded),
                                    atol=1e-6)
 
+    @pytest.mark.slow
     def test_generator_synthesize_folded_matches_live(self):
         cfg = tiny_cfg()
         netG = FewShotGenerator(cfg)

@@ -95,6 +95,7 @@ class TestGeneratorSpd:
                                 mutable=False)
         return out_std, out_plain
 
+    @pytest.mark.slow
     def test_eval_matches_plain(self):
         out_std, out_plain = self._run_pair()
         np.testing.assert_allclose(np.asarray(out_std["img_final"]),
