@@ -389,4 +389,7 @@ class FlowNet2CSS(nn.Module):
         concat2 = jnp.concatenate(
             [x1, x2, warped, s1_flow / self.div_flow, diff], axis=-1)
         s2_flow2 = FlowNetS(name="flownets_2")(concat2)
-        return upsample_bilinear(s2_flow2 * self.div_flow, 4)
+        # reference quirk: the CSS final head upsamples NEAREST (models.py:451
+        # upsample3), unlike every other stage's bilinear x4
+        return jnp.repeat(jnp.repeat(s2_flow2 * self.div_flow, 4, axis=1),
+                          4, axis=2)

@@ -111,6 +111,63 @@ class TestSubnetValueParity:
         assert_flow_close(out_j, out_t)
 
 
+class TestVariantParity:
+    """Standalone sub-variants (reference models.py:184-470): FlowNet2C/S/SD
+    are torch subclasses whose state-dict keys are un-prefixed, so they are
+    re-scoped under our flax wrapper name before import; 2CS/2CSS use the
+    same submodule names (flownetc / flownets_1 / flownets_2) on both sides.
+    All take a (B, 3, 2, H, W) frame pair on the torch side and return x4
+    bilinear-upsampled flow scaled by div_flow in eval mode."""
+
+    def _check(self, tmp_path, rng, torch_module, flax_module, prefix=None,
+               atol=1e-4):
+        from fsvid2vid_tpu.models.flownet import flownet2 as fl
+        tm = torch_module.eval()
+        sd = tm.state_dict()
+        if prefix:
+            sd = {f"{prefix}.{k}": v for k, v in sd.items()}
+        ckpt = str(tmp_path / "m.pth")
+        torch.save({"state_dict": sd}, ckpt)
+        im1 = rng.rand(1, H, W, 3).astype(np.float32)
+        im2 = rng.rand(1, H, W, 3).astype(np.float32)
+        v = flax_module.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)),
+                             jnp.zeros((1, H, W, 3)))
+        params = import_flownet2(v["params"], ckpt)
+        out_j = flax_module.apply({"params": params}, jnp.asarray(im1),
+                                  jnp.asarray(im2))
+        inp = torch.stack([to_nchw(im1), to_nchw(im2)], dim=2)
+        with torch.no_grad():
+            out_t = tm(inp)
+        if isinstance(out_t, tuple):
+            out_t = out_t[0]
+        assert_flow_close(out_j, out_t, atol=atol)
+
+    def test_flownet2c(self, tmp_path, rng, ref_models):
+        from fsvid2vid_tpu.models.flownet.flownet2 import FlowNet2C
+        self._check(tmp_path, rng, ref_models.FlowNet2C(_args()),
+                    FlowNet2C(), prefix="flownetc")
+
+    def test_flownet2s(self, tmp_path, rng, ref_models):
+        from fsvid2vid_tpu.models.flownet.flownet2 import FlowNet2S
+        self._check(tmp_path, rng, ref_models.FlowNet2S(_args()),
+                    FlowNet2S(), prefix="flownets")
+
+    def test_flownet2sd(self, tmp_path, rng, ref_models):
+        from fsvid2vid_tpu.models.flownet.flownet2 import FlowNet2SD
+        self._check(tmp_path, rng, ref_models.FlowNet2SD(_args()),
+                    FlowNet2SD(), prefix="flownets_d")
+
+    def test_flownet2cs(self, tmp_path, rng, ref_models):
+        from fsvid2vid_tpu.models.flownet.flownet2 import FlowNet2CS
+        self._check(tmp_path, rng, ref_models.FlowNet2CS(_args()),
+                    FlowNet2CS(), atol=2e-3)
+
+    def test_flownet2css(self, tmp_path, rng, ref_models):
+        from fsvid2vid_tpu.models.flownet.flownet2 import FlowNet2CSS
+        self._check(tmp_path, rng, ref_models.FlowNet2CSS(_args()),
+                    FlowNet2CSS(), atol=2e-3)
+
+
 class TestFullCascadeParity:
     def test_flownet2(self, tmp_path, rng, ref_models):
         """Full 162.5M-param cascade, imported weights, pixel-space output."""
