@@ -303,7 +303,9 @@ class FlowNet2(nn.Module):
 # single-network and partial-cascade flow estimators; unused by the
 # few-shot-vid2vid training path but part of the FlowNet2 model family.
 # Each takes (im1, im2) in [0, rgb_max] and returns 1/4-res flow upsampled
-# bilinearly x4, scaled by div_flow (matching the torch wrappers' outputs).
+# x4, scaled by div_flow (matching the torch wrappers' outputs).  All
+# upsample bilinearly except FlowNet2CSS, whose final head is nearest
+# (reference models.py:451 upsample3).
 # ---------------------------------------------------------------------------
 
 class _RgbNorm(nn.Module):
@@ -391,5 +393,4 @@ class FlowNet2CSS(nn.Module):
         s2_flow2 = FlowNetS(name="flownets_2")(concat2)
         # reference quirk: the CSS final head upsamples NEAREST (models.py:451
         # upsample3), unlike every other stage's bilinear x4
-        return jnp.repeat(jnp.repeat(s2_flow2 * self.div_flow, 4, axis=1),
-                          4, axis=2)
+        return upsample_nearest(s2_flow2 * self.div_flow, 4)

@@ -63,19 +63,79 @@ def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int = 20,
     return jnp.stack(outs, axis=-1).astype(f1.dtype)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _correlation_pallas(f1, f2, max_displacement, stride, tile_h, interpret):
+    from fsvid2vid_tpu.ops.pallas.cost_volume_kernel import cost_volume_pallas
+    return cost_volume_pallas(f1, f2, max_displacement, stride,
+                              tile_h=tile_h, interpret=interpret)
+
+
+def _correlation_pallas_fwd(f1, f2, max_displacement, stride, tile_h,
+                            interpret):
+    out = _correlation_pallas(f1, f2, max_displacement, stride, tile_h,
+                              interpret)
+    return out, (f1, f2)
+
+
+def _correlation_pallas_bwd(max_displacement, stride, tile_h, interpret, res,
+                            g):
+    """Manual transpose of the cost volume (correlation_cuda_kernel.cu
+    backward semantics):
+
+      df1[y,x,c] = (1/C) * sum_k g[y,x,k]          * f2[y+dy_k, x+dx_k, c]
+      df2[y,x,c] = (1/C) * sum_k g[y-dy_k,x-dx_k,k] * f1[y-dy_k, x-dx_k, c]
+
+    Same shift-reduce structure as the XLA forward; runs only when someone
+    differentiates through FlowNet2 on TPU (the training path keeps the flow
+    teacher frozen, training/flow_teacher.py), so it is built for correctness,
+    not speed.
+    """
+    f1, f2 = res
+    b, h, w, c = f1.shape
+    md = max_displacement
+    acc = jnp.float32
+    g32 = g.astype(acc)
+    inv_c = jnp.asarray(1.0 / c, acc)
+    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    gp = jnp.pad(g32, ((0, 0), (md, md), (md, md), (0, 0)))
+    f1p = jnp.pad(f1, ((0, 0), (md, md), (md, md), (0, 0)))
+
+    df1 = jnp.zeros((b, h, w, c), acc)
+    df2 = jnp.zeros((b, h, w, c), acc)
+    for k, (dy, dx) in enumerate(_displacements(md, stride)):
+        shifted2 = jax.lax.dynamic_slice(
+            f2p, (0, md + dy, md + dx, 0), (b, h, w, c)).astype(acc)
+        df1 = df1 + g32[..., k:k + 1] * shifted2
+        gk = jax.lax.dynamic_slice(
+            gp, (0, md - dy, md - dx, k), (b, h, w, 1))
+        shifted1 = jax.lax.dynamic_slice(
+            f1p, (0, md - dy, md - dx, 0), (b, h, w, c)).astype(acc)
+        df2 = df2 + gk * shifted1
+    return (df1 * inv_c).astype(f1.dtype), (df2 * inv_c).astype(f2.dtype)
+
+
+_correlation_pallas.defvjp(_correlation_pallas_fwd, _correlation_pallas_bwd)
+
+
 def correlation(f1: jnp.ndarray, f2: jnp.ndarray, max_displacement: int = 20,
-                stride: int = 2) -> jnp.ndarray:
+                stride: int = 2, *, interpret: bool = False) -> jnp.ndarray:
     """Dispatching entry point: the Pallas VMEM-resident kernel on TPU
     (measured 61x faster than the best XLA formulation at FlowNetC scale:
-    2.6ms vs 158ms on v5e @ 64x64x256), XLA shift-reduce elsewhere."""
+    2.6ms vs 158ms on v5e @ 64x64x256), XLA shift-reduce elsewhere.
+
+    The Pallas path carries a custom VJP (XLA shift-reduce transpose), so
+    jax.grad through FlowNet2 works on TPU even though the Mosaic kernel
+    itself is forward-only.  `interpret=True` forces the Pallas path in
+    emulation on CPU (tests)."""
     h = f1.shape[1]
-    if jax.default_backend() != "cpu":
+    if interpret or jax.default_backend() != "cpu":
         for tile_h in (8, 4, 2, 1):
             if h % tile_h == 0:
-                from fsvid2vid_tpu.ops.pallas.cost_volume_kernel import (
-                    cost_volume_pallas)
-                return cost_volume_pallas(f1, f2, max_displacement, stride,
-                                          tile_h=tile_h)
+                return _correlation_pallas(f1, f2, max_displacement, stride,
+                                           tile_h, interpret)
     return cost_volume(f1, f2, max_displacement, stride)
 
 

@@ -94,7 +94,9 @@ def cost_volume_pallas(f1: jnp.ndarray, f2: jnp.ndarray,
         out_specs=pl.BlockSpec((1, d, d, tile_h, w),
                                lambda bi, hi: (bi, 0, 0, hi, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        # The kernel uses TPU-dialect primitives (run_scoped + manual DMA), so
+        # CPU emulation needs the TPU interpreter, not the generic one.
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(f2p, f1)
     # (B, dy, dx, H, W) -> (B, H, W, dy*dx)
     return jnp.transpose(out5, (0, 3, 4, 1, 2)).reshape(b, h, w, d * d)

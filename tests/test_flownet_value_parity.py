@@ -117,11 +117,11 @@ class TestVariantParity:
     re-scoped under our flax wrapper name before import; 2CS/2CSS use the
     same submodule names (flownetc / flownets_1 / flownets_2) on both sides.
     All take a (B, 3, 2, H, W) frame pair on the torch side and return x4
-    bilinear-upsampled flow scaled by div_flow in eval mode."""
+    upsampled flow scaled by div_flow in eval mode (bilinear x4 except
+    FlowNet2CSS, which upsamples nearest — reference models.py:451)."""
 
     def _check(self, tmp_path, rng, torch_module, flax_module, prefix=None,
                atol=1e-4):
-        from fsvid2vid_tpu.models.flownet import flownet2 as fl
         tm = torch_module.eval()
         sd = tm.state_dict()
         if prefix:
