@@ -22,8 +22,7 @@ from flax import linen as nn
 
 from fsvid2vid_tpu.ops.batch_conv import batch_conv
 from fsvid2vid_tpu.ops.image_ops import leaky_relu, upsample_nearest
-from fsvid2vid_tpu.ops.spd import (
-    depth_to_space, space_to_depth, spd_concat, spd_upsample_enter)
+from fsvid2vid_tpu.ops.spd import depth_to_space, space_to_depth, spd_concat
 from fsvid2vid_tpu.models.layers import SNConv, xavier_normal_init
 
 
@@ -50,9 +49,14 @@ class LabelEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, x, weights: Optional[Sequence] = None,
-                 train: bool = False):
+                 train: bool = False, probe: Optional[str] = None):
         """Returns list of features, index i at 1/2^i resolution with ch[i]
-        channels (i = 0..n_downsample)."""
+        channels (i = 0..n_downsample).
+
+        `probe` is a bench-only early exit for per-stage cost attribution
+        (scripts/embed_bench.py): "down" returns after the encoder path,
+        "coarse" after the decoder's coarse (non-STD) levels.  Never set in
+        the framework."""
         if x is None:
             return None
         ch = channel_schedule(self.nf, self.n_downsample)
@@ -68,7 +72,7 @@ class LabelEmbedder(nn.Module):
                    and not self.first_layer_free and nd >= 2
                    and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         if use_spd:
-            return self._spd_forward(x, ch, nd, train)
+            return self._spd_forward(x, ch, nd, train, probe)
 
         if self.first_layer_free:
             out = [leaky_relu(batch_conv(x, weights[0][0], weights[0][1]))]
@@ -107,7 +111,7 @@ class LabelEmbedder(nn.Module):
             out = out[nd:]
         return out[::-1]
 
-    def _spd_forward(self, x, ch, nd, train):
+    def _spd_forward(self, x, ch, nd, train, probe=None):
         """Space-to-depth eval path: identical math to the plain path with
         levels 0 and 1 phase-packed.  Owned-weight convs only."""
         def conv_s(f, name, stride=1):
@@ -124,6 +128,9 @@ class LabelEmbedder(nn.Module):
             h = leaky_relu(conv_s(ch[i + 1], f"down_{i}", stride=2)(h, train))
             down.append(h)
 
+        if probe == "down":
+            return down
+
         if not self.decode:
             return ([depth_to_space(down[0]), depth_to_space(down[1])]
                     + down[2:])
@@ -135,15 +142,18 @@ class LabelEmbedder(nn.Module):
                 h = jnp.concatenate([h, down[i + 1]], axis=-1)
             h = leaky_relu(conv_s(ch[i], f"up_{i}")(upsample_nearest(h), train))
             dec[i] = h
-        # level 1: (maybe concat skip) -> upsample -> conv, all phase-packed
+        if probe == "coarse":
+            return [h]
+        # level 1: (maybe concat skip) -> upsample -> conv, all phase-packed;
+        # 's1_up' folds the nearest-upsample into the conv kernel
+        # (ops/spd.py::spd_kernel_s1_up): 4x fewer FLOPs, identical math
         if self.unet and nd > 2:
             h = jnp.concatenate([h, down[2]], axis=-1)
-        u1 = leaky_relu(conv_s(ch[1], "up_1")(
-            spd_upsample_enter(h), train, spd="s1"))
+        u1 = leaky_relu(conv_s(ch[1], "up_1")(h, train, spd="s1_up"))
         # level 0
         h0 = spd_concat(u1, std1) if self.unet else u1
         u0 = leaky_relu(conv_s(ch[0], "up_0")(
-            spd_upsample_enter(depth_to_space(h0)), train, spd="s1"))
+            depth_to_space(h0), train, spd="s1_up"))
         out = [depth_to_space(u0), depth_to_space(u1)]
         out += [dec[i] for i in range(2, nd)]
         out.append(down[nd])

@@ -61,11 +61,12 @@ class SNConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, spd: Optional[str] = None):
         """spd: None for the normal path, or an ops.spd conv mode
-        ('s1'|'s2'|'s2_exit') — x is then in space-to-depth layout and the
-        stored (k,k,cin,cout) kernel is scattered into its STD equivalent
+        ('s1'|'s2'|'s2_exit'|'s1_up') — x is then in space-to-depth layout
+        ('s1_up': the pre-upsample normal-layout tensor) and the stored
+        (k,k,cin,cout) kernel is scattered into its STD equivalent
         (ops/spd.py; inference-only TPU lane-packing optimization)."""
         k = self.kernel_size
-        cin = x.shape[-1] // (4 if spd else 1)
+        cin = x.shape[-1] // (4 if spd and spd != "s1_up" else 1)
         kernel = self.param("kernel", self.kernel_init, (k, k, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None

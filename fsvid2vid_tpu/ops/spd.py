@@ -131,6 +131,13 @@ def spd_conv(x_std: jnp.ndarray, kernel: jnp.ndarray, mode: str) -> jnp.ndarray:
         return lax.conv_general_dilated(
             x_std, k.astype(x_std.dtype), (1, 1), ((0, 0), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if mode == "s1_up":
+        # x_std here is the PRE-upsample tensor in normal layout; the output
+        # is the STD layout of conv(nearest_upsample(x), kernel).
+        k = spd_kernel_s1_up(kernel)
+        return lax.conv_general_dilated(
+            x_std, k.astype(x_std.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     raise ValueError(mode)
 
 
@@ -166,8 +173,29 @@ def spd_batch_kernel_k1_grouped(weight: jnp.ndarray,
 def spd_upsample_enter(x: jnp.ndarray) -> jnp.ndarray:
     """STD representation of nearest-upsample(x, 2): all four phases equal
     x, so the STD tensor is a channel-tiling of x (no data movement in HBM
-    beyond the broadcast)."""
+    beyond the broadcast).
+
+    Prefer spd_kernel_s1_up + a direct conv where the very next op is an
+    s1 STD conv: the tiling makes that conv read 4 identical copies (4x the
+    FLOPs and input bytes); summing the kernel's input-phase blocks computes
+    the identical result from the untiled tensor."""
     return jnp.concatenate([x, x, x, x], axis=-1)
+
+
+def spd_kernel_s1_up(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Fused nearest-upsample(2x) + k3 s1 pad1 conv, STD output.
+
+    Equals spd_kernel_s1(kernel) applied to spd_upsample_enter(x), folded:
+    conv(tile4(x), K) == conv(x, K_summed) with
+    K_summed[:, :, c, :] = sum_p K[:, :, p*ci + c, :] — exact algebra, so
+    the (3,3,ci,co) kernel lifts to (3,3,ci,4co) instead of (3,3,4ci,4co):
+    4x fewer MXU FLOPs and input bytes for bit-identical output (up to float
+    summation order of at most 4 terms that were previously separate
+    dot-products; parity asserted in tests/test_ops.py::TestSpd)."""
+    k = spd_kernel_s1(kernel)
+    kh, kw, ci4, co4 = k.shape
+    ci = ci4 // 4
+    return k.reshape(kh, kw, 4, ci, co4).sum(axis=2)
 
 
 def spd_tile_channel(p: jnp.ndarray) -> jnp.ndarray:

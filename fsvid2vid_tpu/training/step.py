@@ -203,12 +203,18 @@ def generate_images(cfg: Config, models: ModelBundle, params_G, aux_G,
 # ----------------------------------------------------------------------
 
 def _g_losses(cfg: Config, models: ModelBundle, params_D, aux_D, vgg_params,
-              batch, prevs, flags: StepFlags, outputs, masks, refs):
+              batch, prevs, flags: StepFlags, outputs, masks, refs,
+              collect_aux_D: bool = False):
     """Generator-side losses as a function of the generated outputs (the
     generation itself is linearized once in train_step and shared with the
-    discriminator phase)."""
-    applies, _ = _applies_for_D(models, params_D, aux_D, train=True,
-                                collect_aux=False)
+    discriminator phase).
+
+    collect_aux_D: return the D nets' mutated collections (spectral u/v,
+    batch stats) advanced by this G-phase application — used by
+    train_step_faithful, where the reference's G phase advances D's power
+    iteration a second time per iteration (vid2vid_model.py:62-103)."""
+    applies, new_aux_D = _applies_for_D(models, params_D, aux_D, train=True,
+                                        collect_aux=collect_aux_D)
     applies["vgg"] = vgg_apply = _vgg_apply(models, vgg_params, cfg.remat)
 
     tgt_label, tgt_image = batch["tgt_label"], batch["tgt_image"]
@@ -251,7 +257,7 @@ def _g_losses(cfg: Config, models: ModelBundle, params_D, aux_D, vgg_params,
         losses["G_KLD"] = kld_loss(outputs["mu"], outputs["logvar"]) * cfg.lambda_kld
 
     total = sum(losses.values())
-    return total, dict(losses=losses)
+    return total, dict(losses=losses, new_aux_D=new_aux_D)
 
 
 def _d_losses(cfg: Config, models: ModelBundle, params_D, aux_D, generated,
@@ -384,4 +390,96 @@ def train_step(cfg: Config, models: ModelBundle, state: TrainState, batch,
              fake_image=outputs["fake_image"], fake_raw=outputs["fake_raw"],
              warped=outputs["warped"], flow=outputs["flow"],
              flow_mask=outputs["flow_mask"]))
+    return new_state, new_prevs, losses, visuals
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def train_step_faithful(cfg: Config, models: ModelBundle, state: TrainState,
+                        batch, prevs, flags: StepFlags, rng: Array):
+    """Reference-faithful alternation: TWO generator forwards per iteration,
+    exactly as train.py:44-62 + vid2vid_model.py:62-130 execute it.
+
+    This is the documented convergence-parity mode (docs/CONVERGENCE.md).
+    The default `train_step` shares ONE vjp-linearized generation between
+    the D and G phases — bitwise the same losses at step 1 and one forward
+    cheaper, but its spectral u/v estimates advance once per step where the
+    reference's advance twice (once per forward), with the D phase seeing
+    sigma_1 and the G phase sigma_2.  Measured over 2000 steps that
+    advancement-rate difference drifts the GAN equilibrium
+    (docs/CONVERGENCE.md "Drift diagnosis").  Here the alternation is
+    reproduced exactly:
+
+      D phase: no-grad generation with the step's incoming params/aux
+               (advances G's u/v + batch stats once: sigma_1 fake),
+               D forward with grads (advances D's u/v once), D update.
+      G phase: fresh generation with grads using the D-phase-advanced aux
+               (sigma_2 fake), losses against the UPDATED D (whose u/v
+               advance a second time in this application), G update.
+
+    Per step this matches the reference operation-for-operation, so whole
+    trajectories track (up to float reassociation), not just step 1 —
+    asserted multi-step in tests/test_convergence.py.  Use
+    cfg.sn_power_iters=1 with this step (one iteration per forward, like
+    torch).  The VAE rng is reused across the two phases (the reference
+    draws two independent z's; face/pose/street run with use_kld=False)."""
+    opt_G_tx, opt_D_tx = make_optimizers(cfg)
+    rngs = {"vae": rng} if cfg.use_kld else None
+
+    # ---- D phase: no-grad generation, sigma_1 (vid2vid_model.py:108-110) ----
+    outputs_d, masks, refs, gen_aux_1 = generate_images(
+        cfg, models, state.params_G, state.aux_G, batch, prevs, flags,
+        train=True, rngs=rngs)
+    aux_G_1 = {k: gen_aux_1.get(k, v) for k, v in state.aux_G.items()}
+    gen_det = jax.tree.map(
+        lambda x: jax.lax.stop_gradient(x) if x is not None else None,
+        dict(fake_image=outputs_d["fake_image"],
+             fake_raw=outputs_d["fake_raw"]),
+        is_leaf=lambda x: x is None)
+    if flags.use_pool:
+        gen_det["fake_image"] = jnp.where(
+            batch["pool_mask"], batch["pool_fake"].astype(
+                gen_det["fake_image"].dtype), gen_det["fake_image"])
+
+    def d_loss_fn(params_D):
+        return _d_losses(cfg, models, params_D, state.aux_D, gen_det, batch,
+                         prevs, masks, refs, flags)
+    (d_total, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        state.params_D)
+    d_updates, new_opt_D = opt_D_tx.update(d_grads, state.opt_D, state.params_D)
+    new_params_D = optax.apply_updates(state.params_D, d_updates)
+    aux_D_1 = {k: d_aux["new_aux_D"].get(k, v) for k, v in state.aux_D.items()}
+
+    # ---- G phase: fresh generation with grads, sigma_2 (vid2vid_model.py:62-103) ----
+    def g_loss_fn(params_G):
+        outputs, masks_g, refs_g, gen_aux_2 = generate_images(
+            cfg, models, params_G, aux_G_1, batch, prevs, flags,
+            train=True, rngs=rngs)
+        total, aux = _g_losses(cfg, models, new_params_D, aux_D_1,
+                               state.vgg_params, batch, prevs, flags,
+                               outputs, masks_g, refs_g, collect_aux_D=True)
+        return total, (aux, outputs, gen_aux_2)
+    (g_total, (g_aux, outputs_g, gen_aux_2)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(state.params_G)
+    g_updates, new_opt_G = opt_G_tx.update(g_grads, state.opt_G, state.params_G)
+    new_params_G = optax.apply_updates(state.params_G, g_updates)
+    new_aux_G = {k: gen_aux_2.get(k, v) for k, v in aux_G_1.items()}
+    new_aux_D = {k: g_aux["new_aux_D"].get(k, v) for k, v in aux_D_1.items()}
+
+    new_prevs = advance_prevs(cfg, prevs, outputs_g["tgt_label_valid"],
+                              batch["tgt_image"], outputs_g["fake_image"])
+
+    new_state = state.replace(
+        step=state.step + 1,
+        params_G=new_params_G, params_D=new_params_D,
+        aux_G=new_aux_G, aux_D=new_aux_D,
+        opt_G=new_opt_G, opt_D=new_opt_D)
+    losses = {**g_aux["losses"], **d_aux["losses"],
+              "G_total": g_total, "D_total": d_total}
+    visuals = jax.tree.map(
+        jax.lax.stop_gradient,
+        dict(tgt_label=batch["tgt_label"], tgt_image=batch["tgt_image"],
+             ref_label=refs["label"], ref_image=refs["image"],
+             fake_image=outputs_g["fake_image"],
+             fake_raw=outputs_g["fake_raw"], warped=outputs_g["warped"],
+             flow=outputs_g["flow"], flow_mask=outputs_g["flow_mask"]))
     return new_state, new_prevs, losses, visuals

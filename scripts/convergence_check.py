@@ -191,14 +191,16 @@ def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
 # our side
 # ----------------------------------------------------------------------
 
-def run_ours(batches, state_in, lpips_cb=None, lpips_every=0, sn2=False):
+def run_ours(batches, state_in, lpips_cb=None, lpips_every=0, sn2=False,
+             faithful=False):
     import torch
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from fsvid2vid_tpu.config import face_config
     from fsvid2vid_tpu.training.state import build_models, init_state
-    from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
+    from fsvid2vid_tpu.training.step import (
+        StepFlags, init_prevs, train_step, train_step_faithful)
     from fsvid2vid_tpu.utils.torch_port import (
         import_fewshot_generator, import_discriminator, import_vgg19)
 
@@ -238,13 +240,17 @@ def run_ours(batches, state_in, lpips_cb=None, lpips_every=0, sn2=False):
 
     flags = StepFlags(warp_prev=False, has_prev=False)
     prevs = init_prevs(cfg, sample)
+    # --faithful: exact reference alternation (two generator forwards per
+    # iteration, per-phase spectral advancement) — the convergence-parity
+    # mode, docs/CONVERGENCE.md
+    step_fn = train_step_faithful if faithful else train_step
     records = []
     for step, b in enumerate(batches):
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         batch.update(flow_gt=[None, None], conf_gt=[None, None])
-        state, prevs, losses, vis = train_step(cfg, models, state, batch,
-                                               prevs, flags,
-                                               jax.random.PRNGKey(0))
+        state, prevs, losses, vis = step_fn(cfg, models, state, batch,
+                                            prevs, flags,
+                                            jax.random.PRNGKey(0))
         vals = {k: float(v) for k, v in losses.items()}
         if lpips_cb is not None and lpips_every and step % lpips_every == 0:
             vals["lpips"] = lpips_cb(np.asarray(vis["fake_image"]),
@@ -281,6 +287,10 @@ def main():
                    help="ours-side: 2 spectral power iterations per step "
                         "(matches the reference's 2-forwards-per-iteration "
                         "u/v advancement)")
+    p.add_argument("--faithful", action="store_true",
+                   help="ours-side: train_step_faithful — the exact "
+                        "reference alternation (two generator forwards, "
+                        "per-phase u/v advancement); convergence-parity mode")
     p.add_argument("--reuse-torch", default="",
                    help="JSONL from a previous identical run: skip the torch "
                         "stack and reuse its records (requires the matching "
@@ -309,7 +319,7 @@ def main():
 
     batches = make_batches(a.steps)
     print(f"[data: {len(batches)} steps of bs{BS} {SIZE}px ngf{NGF} "
-          f"vgg={USE_VGG} sn2={a.sn2}]", flush=True)
+          f"vgg={USE_VGG} sn2={a.sn2} faithful={a.faithful}]", flush=True)
     if a.reuse_torch:
         with open(a.reuse_torch) as f:
             t_rec = [json.loads(line)["torch"] for line in f]
@@ -321,7 +331,7 @@ def main():
                           a.lpips_every)
         print("[torch reference done]", flush=True)
     j_rec = run_ours(batches, "/tmp/convergence_init.pt", lpips_cb,
-                     a.lpips_every, sn2=a.sn2)
+                     a.lpips_every, sn2=a.sn2, faithful=a.faithful)
     print("[ours done]", flush=True)
 
     with open(a.out, "w") as f:

@@ -46,3 +46,22 @@ class TestConvergenceParity:
             assert abs(t_rec[2][k] - j_rec[2][k]) <= \
                 0.15 * max(1.0, abs(t_rec[2][k])), \
                 f"{k}: torch {t_rec[2][k]} vs ours {j_rec[2][k]}"
+
+
+class TestFaithfulStep:
+    def test_faithful_mode_matches_every_step(self, tmp_path):
+        """train_step_faithful reproduces the reference alternation exactly
+        (two generator forwards, per-phase spectral advancement, sequential
+        D-then-G), so EVERY step's losses must match tightly — not just
+        step 1.  The drift budget here is float-reassociation only, an
+        order of magnitude tighter than the default-step step-3 budget."""
+        init = str(tmp_path / "init.pt")
+        batches = cc.make_batches(4)
+        t_rec = cc.run_torch(batches, init)
+        j_rec = cc.run_ours(batches, init, faithful=True)
+        for step in range(4):
+            for k in cc.LOSS_KEYS:
+                assert abs(t_rec[step][k] - j_rec[step][k]) <= \
+                    2e-2 * max(1.0, abs(t_rec[step][k])), \
+                    (f"step {step} {k}: torch {t_rec[step][k]} "
+                     f"vs ours {j_rec[step][k]}")

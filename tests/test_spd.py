@@ -58,6 +58,15 @@ class TestSpdOps:
         np.testing.assert_allclose(np.asarray(got), np.asarray(conv(up, k, 1)),
                                    atol=1e-5)
 
+    def test_s1_up_folded(self, data):
+        """spd_kernel_s1_up folds nearest-upsample + k3 conv into one conv on
+        the pre-upsample tensor (4x fewer FLOPs than tiling + s1)."""
+        x, k = data
+        up = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+        got = depth_to_space(spd_conv(x, k, "s1_up"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(conv(up, k, 1)),
+                                   atol=1e-5)
+
 
 class TestGeneratorSpd:
     """Full-generator eval parity: spd_inference=True (up blocks 0-1, SPADE
