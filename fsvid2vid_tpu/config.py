@@ -157,6 +157,11 @@ class Config:
     remat: bool = False  # jax.checkpoint the generator up blocks (activation
     # memory ~halves, backward recomputes each block once); required for the
     # pose 512x256 bs4+VGG config on a 16GB chip
+    remat_scopes: str = "blocks,flow,embed,vgg"  # which sub-nets remat applies
+    # to when remat=True: any comma subset of blocks (SPADE up blocks), flow
+    # (full-res flow nets), embed (SC embedder pyramids), vgg (perceptual-loss
+    # feature extractor).  Finer granularity trades recompute time for HBM;
+    # measured per-config in BASELINE.md (round 4)
     param_dtype: str = "float32"
     data_axis: str = "data"          # single data-parallel mesh axis (SURVEY §2.6)
     mesh_shape: Tuple[int, ...] = ()  # () => all visible devices on one DP axis
@@ -227,6 +232,12 @@ class Config:
     @property
     def n_adaptive(self) -> int:
         return self.n_adaptive_layers if self.n_adaptive_layers != -1 else self.n_downsample_G
+
+    def remat_scope(self, name: str) -> bool:
+        """True if sub-net `name` should be jax.checkpoint'ed (remat master
+        switch AND the scope listed in remat_scopes)."""
+        return self.remat and name in {
+            s.strip() for s in self.remat_scopes.split(",")}
 
     @property
     def flow_temp_is_shared(self) -> bool:

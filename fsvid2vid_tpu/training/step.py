@@ -215,7 +215,8 @@ def _g_losses(cfg: Config, models: ModelBundle, params_D, aux_D, vgg_params,
     iteration a second time per iteration (vid2vid_model.py:62-103)."""
     applies, new_aux_D = _applies_for_D(models, params_D, aux_D, train=True,
                                         collect_aux=collect_aux_D)
-    applies["vgg"] = vgg_apply = _vgg_apply(models, vgg_params, cfg.remat)
+    applies["vgg"] = vgg_apply = _vgg_apply(models, vgg_params,
+                                            cfg.remat_scope("vgg"))
 
     tgt_label, tgt_image = batch["tgt_label"], batch["tgt_image"]
     fake_image, fake_raw = outputs["fake_image"], outputs["fake_raw"]

@@ -4,7 +4,10 @@ Uses the same scan-amortized harness as profile_frame.py (the remote relay
 costs ~28 ms per dispatch, so K steps run inside one jitted lax.scan carrying
 the train state; distinct batches per iteration prevent CSE).
 
-Usage: python scripts/train_bench.py [face|pose|face512] [batch] [K]
+Usage: python scripts/train_bench.py [face|pose|face512] [batch] [K] [scopes]
+
+`scopes` (pose only): comma subset of blocks,flow,embed,vgg — the remat
+granularity to benchmark (cfg.remat_scopes); "none" disables remat entirely.
 """
 import sys
 import time
@@ -21,15 +24,22 @@ from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
 WHICH = sys.argv[1] if len(sys.argv) > 1 else "face"
 BS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+SCOPES = sys.argv[4] if len(sys.argv) > 4 else None
 RUNS = 3
 
 
 def make_cfg():
+    extra = {}
+    if SCOPES == "none":
+        extra = dict(remat=False)
+    elif SCOPES:
+        extra = dict(remat=True, remat_scopes=SCOPES)
     if WHICH == "pose":
         # full pose training config (BASELINE.json config 5): face D +
         # refiner + 6ch maps at H=512,W=256 (scripts/pose/train_g8.sh)
         return pose_config(batch_size=BS, fine_size=256, load_size=256,
-                           refine_face=True, compute_dtype="bfloat16")
+                           refine_face=True, compute_dtype="bfloat16",
+                           **extra)
     if WHICH == "face_novgg":
         # round-1 comparison point (BASELINE.md measured no-VGG fp32/bf16)
         return face_config(batch_size=BS, fine_size=256, load_size=256,

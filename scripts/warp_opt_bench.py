@@ -194,6 +194,26 @@ def main():
     timed("2-gather rows (sanity: more rows)", warp_2gather, image, fstacks,
           overhead, n)
 
+    # 7. flatten the batch into ONE B=1 gather (rows offset by b*h*w):
+    #    tests whether XLA's gather pays a per-batch overhead at B=2
+    def warp_flatbatch(im, flow):
+        b, hh, ww, c = im.shape
+        tab = build_patches(im).reshape(1, b * hh * ww, 4 * c)
+        idx, fx, fy = idx_weights(flow, hh, ww)
+        off = (jnp.arange(b, dtype=jnp.int32) * (hh * ww)).reshape(
+            b, 1, 1)
+        idx = (idx + off).reshape(1, b * hh * ww, 1)
+        v = jnp.take_along_axis(tab, idx, axis=1).reshape(b, hh, ww, 4 * c)
+        fx = fx[..., None].astype(im.dtype)
+        fy = fy[..., None].astype(im.dtype)
+        one = jnp.asarray(1.0, im.dtype)
+        top = (one - fx) * v[..., 0:c] + fx * v[..., c:2 * c]
+        bot = (one - fx) * v[..., 2 * c:3 * c] + fx * v[..., 3 * c:]
+        return (one - fy) * top + fy * bot
+
+    timed("flat-batch single gather", warp_flatbatch, image, fstacks,
+          overhead, n)
+
 
 if __name__ == "__main__":
     main()
