@@ -7,8 +7,10 @@ CSE cannot collapse the iterations), and the per-iteration time is
 (t_scan - t_dispatch_overhead) / K with the overhead measured from an empty
 scan of the same shape.
 
-Usage: python scripts/profile_frame.py [SIZE] [comp1,comp2,...]
-Components: full embed flow1 flow2 sc main
+Usage: python scripts/profile_frame.py [SIZE] [comp1,comp2,...] [B] [K]
+Components: full embed flow1 flow2 sc main nosc
+K>1 adds:   kfull (full __call__ with prefix cache), attn (attention module
+            from cached keys), wgen (weight_generation with prefix)
 """
 import sys
 import time
@@ -26,26 +28,38 @@ from fsvid2vid_tpu.parallel.precision import bf16_params, cast_floating
 SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WHICH = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 1  # parallel streams
+NSHOT = int(sys.argv[4]) if len(sys.argv) > 4 else 1  # references (K>1: attention)
 K = 10          # scan iterations per program
 RUNS = 3        # timed program dispatches (min taken)
 
 
-def make_scan(fn):
-    """fn: label -> pytree.  Returns jitted labels(K,...) -> scalar."""
-    def body(c, lbl):
-        out = fn(lbl)
+def make_scan(fn, caps=None):
+    """fn: (label[, caps]) -> pytree.  Returns jitted labels(K,...) -> scalar.
+
+    `caps`: pytree of arrays the component closes over (params, refs, cache).
+    Passed as a jit ARGUMENT, not a closure capture — captures are baked
+    into the HLO as constants, which blows past the remote-compile request
+    limit at K=8 512px."""
+    def body(c, lbl_caps):
+        lbl, cp = lbl_caps
+        out = fn(lbl) if caps is None else fn(lbl, cp)
         leaves = [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out)]
         return c + sum(leaves), None
 
     @jax.jit
-    def run(labels):
-        c, _ = jax.lax.scan(body, jnp.float32(0), labels)
+    def run(labels, cp):
+        c, _ = jax.lax.scan(
+            lambda c, lbl: body(c, (lbl, cp)), jnp.float32(0), labels)
         return c
-    return run
+
+    def call(labels):
+        return run(labels, caps)
+    call.lower = lambda labels: run.lower(labels, caps)
+    return call
 
 
-def timeit(name, fn, labels_sets, overhead_s):
-    run = make_scan(fn)
+def timeit(name, fn, labels_sets, overhead_s, caps=None):
+    run = make_scan(fn, caps)
     t0 = time.perf_counter()
     float(run(labels_sets[0]))
     print(f"[compile {name}: {time.perf_counter() - t0:.1f}s]",
@@ -75,15 +89,16 @@ def timeit(name, fn, labels_sets, overhead_s):
 def main():
     enable_compilation_cache()
     cfg = face_config(batch_size=B, is_train=False, fine_size=SIZE,
-                      load_size=SIZE)
+                      load_size=SIZE, n_shot=NSHOT)
     models = build_models(cfg)
     netG = models.netG
     h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
 
     rng = np.random.RandomState(0)
     label = jnp.asarray(rng.randn(B, h, w, cl).astype(np.float32))
-    ref_l = jnp.asarray(rng.randn(B, 1, h, w, cl).astype(np.float32))
-    ref_i = jnp.asarray(np.tanh(rng.randn(B, 1, h, w, 3)).astype(np.float32))
+    ref_l = jnp.asarray(rng.randn(B, NSHOT, h, w, cl).astype(np.float32))
+    ref_i = jnp.asarray(
+        np.tanh(rng.randn(B, NSHOT, h, w, 3)).astype(np.float32))
     n_prev = cfg.n_frames_G - 1
     prev_l = jnp.asarray(rng.randn(B, h, w, cl * n_prev).astype(np.float32))
     prev_i = jnp.asarray(
@@ -101,73 +116,114 @@ def main():
             rng.randn(K, B, h, w, cl).astype(np.float32)), jnp.bfloat16)
         for _ in range(RUNS + 1)]
 
-    cache = jax.jit(lambda rl, ri, lb: netG.apply(
-        var_all, rl, ri, lb, method=netG.encode_reference,
-        mutable=False))(ref_l, ref_i, label)
+    if NSHOT == 1:
+        cache = jax.jit(lambda rl, ri, lb: netG.apply(
+            var_all, rl, ri, lb, method=netG.encode_reference,
+            mutable=False))(ref_l, ref_i, label)
+    else:
+        cache = jax.jit(lambda rl, ri: netG.apply(
+            var_all, rl, ri, method=netG.encode_reference_multi,
+            mutable=False))(ref_l, ref_i)
 
-    def full_step(lbl):
-        return netG.apply(var_all, lbl, ref_l, ref_i, cache, prev_l,
-                          prev_i, warp_prev=True,
+    # everything a component touches rides in CAPS (a jit argument — see
+    # make_scan: closure captures become HLO constants and overflow the
+    # remote-compile request at K=8 512px)
+    CAPS = dict(var=var_all, ref_l=ref_l, ref_i=ref_i, prev_l=prev_l,
+                prev_i=prev_i, cache=cache,
+                ref_l_flat=ref_l.reshape((B * NSHOT,) + ref_l.shape[2:]))
+
+    def full_step(lbl, cp):
+        return netG.apply(cp["var"], lbl, cp["ref_l"], cp["ref_i"],
+                          cp["cache"], cp["prev_l"], cp["prev_i"],
+                          warp_prev=True,
                           method=netG.synthesize, mutable=False)["img_final"]
 
-    def embed_only(lbl):
+    def embed_only(lbl, cp):
         def m(g, lb):
             return g.label_embedding(
-                lb, weights=cache["embedding_weights"], train=False)
-        return netG.apply(var_all, lbl, method=m, mutable=False)
+                lb, weights=cp["cache"]["embedding_weights"], train=False)
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
 
-    def flow_ref_only(lbl):
+    def flow_ref_only(lbl, cp):
         def m(g, lb):
-            return g.flow_network_ref(lb, ref_l[:, 0], ref_i[:, 0],
-                                      train=False)
-        return netG.apply(var_all, lbl, method=m, mutable=False)
+            return g.flow_network_ref(lb, cp["ref_l"][:, 0],
+                                      cp["ref_i"][:, 0], train=False)
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
 
-    def flow_both(lbl):
+    def flow_both(lbl, cp):
         def m(g, lb):
-            return g.flow_generation(lb, ref_l, ref_i, prev_l, prev_i, None,
+            return g.flow_generation(lb, cp["ref_l"], cp["ref_i"],
+                                     cp["prev_l"], cp["prev_i"], None,
                                      True, False)
-        out = netG.apply(var_all, lbl, method=m, mutable=False)
+        out = netG.apply(cp["var"], lbl, method=m, mutable=False)
         return [x for x in out[0] + out[1] + out[2] if x is not None]
 
-    def sc_embed_only(lbl):
+    def sc_embed_only(lbl, cp):
         def m(g, lb):
-            ds = jnp.concatenate([ref_i[:, 0], lb[..., :1]], axis=-1)
+            ds = jnp.concatenate([cp["ref_i"][:, 0], lb[..., :1]], axis=-1)
             return g.img_ref_embedding(ds, train=False)
-        return netG.apply(var_all, lbl, method=m, mutable=False)
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
 
-    def main_branch_only(lbl):
+    def main_branch_only(lbl, cp):
         def m(g, lb):
+            cache = cp["cache"]
             enc = g.label_embedding(
                 lb, weights=cache["embedding_weights"], train=False)
             gen = dict(conv_weights=cache["conv_weights"],
                        norm_weights=cache["norm_weights"])
             return g._main_branch(cache["x_kld"], enc, gen, None, False)[0]
-        return netG.apply(var_all, lbl, method=m, mutable=False)
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
 
-    def nosc_step(lbl):
+    def nosc_step(lbl, cp):
         """synthesize minus the two SC-embedder pyramids: modulate with the
         label pyramid only (subtractive ablation for the glue cost)."""
         def m(g, lb):
+            cache = cp["cache"]
             enc = g.label_embedding(
                 lb, weights=cache["embedding_weights"], train=False)
             flow, fmask, warp, _ = g.flow_generation(
-                lb, ref_l, ref_i, prev_l, prev_i, None, True, False)
+                lb, cp["ref_l"], cp["ref_i"], cp["prev_l"], cp["prev_i"],
+                None, True, False)
             gen = dict(conv_weights=cache["conv_weights"],
                        norm_weights=cache["norm_weights"])
             img = g._main_branch(cache["x_kld"], enc, gen, None, False)[0]
             img = img * fmask[0] + warp[0] * (1 - fmask[0])
             return img * fmask[1] + warp[1] * (1 - fmask[1])
-        return netG.apply(var_all, lbl, method=m, mutable=False)
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
+
+    # ---- K>1 components: the prefix-cached full __call__ and its pieces ----
+    def kfull_step(lbl, cp):
+        out = netG.apply(cp["var"], lbl, cp["ref_l"], cp["ref_i"],
+                         cp["prev_l"], cp["prev_i"], warp_prev=True,
+                         train=False, prefix=cp["cache"], mutable=False)
+        return out["img_final"]
+
+    def attn_only(lbl, cp):
+        def m(g, lb):
+            cache = cp["cache"]
+            return g._attention_module(
+                cache["x"], cache["x_label"], lb, cp["ref_l_flat"],
+                train=False, key=cache["key"])[:2]
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
+
+    def wgen_only(lbl, cp):
+        def m(g, lb):
+            x, gen = g.weight_generation(cp["ref_i"], cp["ref_l"], lb,
+                                         train=False, prefix=cp["cache"])
+            return [x] + [t for t in jax.tree.leaves(
+                (gen["conv_weights"], gen["norm_weights"],
+                 gen["embedding_weights"]))]
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
 
     # dispatch overhead: empty scan over the same label stack
-    over_run = make_scan(lambda lbl: jnp.float32(0))
+    over_run = make_scan(lambda lbl, cp: jnp.float32(0), CAPS)
     float(over_run(labels_sets[0]))
     overhead = min(_timed(over_run, s) for s in labels_sets[1:])
     print(f"[dispatch overhead: {overhead * 1000:.1f} ms]", file=sys.stderr,
           flush=True)
 
-    print(f"=== {SIZE}px B={B} frame-step ablation, bf16, "
-          f"{jax.devices()[0].device_kind}, K={K} ===", flush=True)
+    print(f"=== {SIZE}px B={B} K={NSHOT} frame-step ablation, bf16, "
+          f"{jax.devices()[0].device_kind}, scan={K} ===", flush=True)
     parts = {
         "full": ("full synthesize step", full_step),
         "embed": ("label_embedding", embed_only),
@@ -176,10 +232,13 @@ def main():
         "sc": ("spade-combine embed (one)", sc_embed_only),
         "main": ("main branch (+embed)", main_branch_only),
         "nosc": ("synthesize minus sc embedders", nosc_step),
+        "kfull": ("full __call__ (prefix cache)", kfull_step),
+        "attn": ("attention module (cached keys)", attn_only),
+        "wgen": ("weight_generation (prefix)", wgen_only),
     }
     for key, (name, fn) in parts.items():
         if WHICH is None or key in WHICH:
-            timeit(name, fn, labels_sets, overhead)
+            timeit(name, fn, labels_sets, overhead, CAPS)
 
 
 def _timed(run, s):

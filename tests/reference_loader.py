@@ -44,6 +44,13 @@ def load_reference_modules():
     sys.path.insert(0, "/root/reference")
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.cuda.is_available = lambda: False
+    # input_process.get_part_mask / loss_collector allocate with
+    # torch.cuda.ByteTensor/FloatTensor directly (input_process.py:74);
+    # alias the CPU constructors so the pose paths run in this environment
+    # (the attributes exist on CPU-only builds but raise when called)
+    torch.cuda.ByteTensor = torch.ByteTensor
+    torch.cuda.FloatTensor = torch.FloatTensor
+    torch.cuda.LongTensor = torch.LongTensor
     _LOADED = True
 
 
