@@ -69,25 +69,34 @@ def _kernel(refs, *, n_refs, kb, hw_key, has_lf):
 
     q = q_ref[0]                                   # (qb, c)
     k = k_ref[0]                                   # (kb, c)
+    # softmax in the exp2 domain: log2(e) folded into the energy matmul so
+    # the 2.1e9 per-frame exponentials hit the VPU's native 2^x (exp(x) =
+    # 2^(x*log2e); the softmax is scale-invariant so the result is the same)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (qb, kb)
+        preferred_element_type=jnp.float32) * 1.4426950408889634  # (qb, kb)
 
     m_prev = m_scr[:]                              # (qb, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                # (qb, 1)
-    p = jnp.exp(s - m_new)                         # (qb, kb) f32
+    alpha = jnp.exp2(m_prev - m_new)               # (qb, 1)
+    p = jnp.exp2(s - m_new)                        # (qb, kb) f32
 
     m_scr[:] = m_new
     l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
 
     pv = p.astype(x_ref.dtype)
-    ax_scr[:] = alpha * ax_scr[:] + jnp.dot(
-        pv, x_ref[0], preferred_element_type=jnp.float32)
     if has_lf:
-        al_scr[:] = alpha * al_scr[:] + jnp.dot(
-            pv, lf_ref[0], preferred_element_type=jnp.float32)
+        # one MXU call over the channel-concatenated values: same FLOPs as
+        # two dots but a single pass of P through the MXU pipeline
+        xl = jnp.concatenate([x_ref[0], lf_ref[0]], axis=1)
+        both = jnp.dot(pv, xl, preferred_element_type=jnp.float32)
+        c = x_ref.shape[2]
+        ax_scr[:] = alpha * ax_scr[:] + both[:, :c]
+        al_scr[:] = alpha * al_scr[:] + both[:, c:]
+    else:
+        ax_scr[:] = alpha * ax_scr[:] + jnp.dot(
+            pv, x_ref[0], preferred_element_type=jnp.float32)
 
     # reference index of this key block (kb divides hw_key, so the block
     # lies entirely inside one reference); one-hot scatter onto the lane axis
@@ -109,7 +118,7 @@ def _kernel(refs, *, n_refs, kb, hw_key, has_lf):
                                              "interpret"))
 def flash_ref_attention(query: jnp.ndarray, key: jnp.ndarray,
                         xf: jnp.ndarray, lf: jnp.ndarray | None,
-                        n_refs: int, q_block: int = 512, k_block: int = 1024,
+                        n_refs: int, q_block: int = 1024, k_block: int = 1024,
                         interpret: bool = False):
     """Streaming-softmax multi-reference attention (forward only).
 

@@ -66,7 +66,16 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     patches = jnp.concatenate([row0, row1], axis=-1).reshape(b, h * w, 4 * c)
 
     idx = (y0i * w + x0i).reshape(b, h * w, 1)
-    v = jnp.take_along_axis(patches, idx, axis=1).reshape(b, h, w, 4, c)
+    if b > 1:
+        # flatten the batch into ONE gather: XLA's batched gather costs
+        # ~12 ns/row at B=2 vs ~9.5 flattened (scripts/warp_opt_bench.py on
+        # v5e) — the per-batch dimension defeats its flat-index fast path
+        off = (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(b, 1, 1)
+        v = jnp.take_along_axis(patches.reshape(1, b * h * w, 4 * c),
+                                (idx + off).reshape(1, b * h * w, 1),
+                                axis=1).reshape(b, h, w, 4, c)
+    else:
+        v = jnp.take_along_axis(patches, idx, axis=1).reshape(b, h, w, 4, c)
 
     fx = fx[..., None].astype(dtype)
     fy = fy[..., None].astype(dtype)

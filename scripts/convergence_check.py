@@ -28,6 +28,7 @@ Usage: python scripts/convergence_check.py [STEPS] [OUT.json]
 Emits one JSON line per step with both loss dicts (+ lpips), then a summary.
 """
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -363,17 +364,26 @@ def main():
     batches = make_batches(a.steps)
     print(f"[data: {len(batches)} steps of bs{BS} {SIZE}px ngf{NGF} "
           f"vgg={USE_VGG} sn2={a.sn2} faithful={a.faithful}]", flush=True)
+    # run-specific state path: a fixed /tmp name lets a concurrent run
+    # clobber the exported init between the torch and ours halves
+    state_pt = a.out + ".init.pt"
     if a.reuse_torch:
         with open(a.reuse_torch) as f:
             t_rec = [json.loads(line)["torch"] for line in f]
         assert len(t_rec) >= a.steps, "cached torch run too short"
         t_rec = t_rec[:a.steps]
+        state_pt = a.reuse_torch + ".init.pt"
+        if not os.path.exists(state_pt):
+            state_pt = "/tmp/convergence_init.pt"  # pre-round-4 runs
         print(f"[torch records reused from {a.reuse_torch}]", flush=True)
     else:
-        t_rec = run_torch(batches, "/tmp/convergence_init.pt", lpips_cb,
-                          a.lpips_every)
+        t_rec = run_torch(batches, state_pt, lpips_cb, a.lpips_every)
+        # persist the torch half immediately: the ours half can crash
+        with open(a.out + ".torch.jsonl", "w") as f:
+            for i, t in enumerate(t_rec):
+                f.write(json.dumps({"step": i, "torch": t}) + "\n")
         print("[torch reference done]", flush=True)
-    j_rec = run_ours(batches, "/tmp/convergence_init.pt", lpips_cb,
+    j_rec = run_ours(batches, state_pt, lpips_cb,
                      a.lpips_every, sn2=a.sn2, faithful=a.faithful)
     print("[ours done]", flush=True)
 

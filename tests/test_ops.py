@@ -69,6 +69,21 @@ class TestFlowWarp:
         num = (loss(jnp.asarray(f1)) - loss(jnp.asarray(f0))) / eps
         np.testing.assert_allclose(np.asarray(gf)[0, 3, 3, 0], num, atol=1e-2)
 
+    def test_gradients_flow_batched(self, rng):
+        """b>1 takes the flattened single-gather path; its VJP (scatter over
+        the flat table) must match the per-batch formulation numerically."""
+        img = jnp.asarray(rng.randn(3, 6, 6, 2).astype(np.float32))
+        flow = jnp.asarray((rng.randn(3, 6, 6, 2) * 0.5).astype(np.float32))
+        gi, gf = jax.grad(lambda i, f: flow_warp(i, f).sum(),
+                          argnums=(0, 1))(img, flow)
+        gi1 = jnp.concatenate([
+            jax.grad(lambda i, f: flow_warp(i, f).sum())(img[k:k + 1],
+                                                         flow[k:k + 1])
+            for k in range(3)])
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(gi1),
+                                   atol=1e-5)
+        assert np.isfinite(np.asarray(gf)).all()
+
 
 class TestCostVolume:
     def _torch_corr(self, f1, f2, md=4, stride=2):
