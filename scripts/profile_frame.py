@@ -12,6 +12,7 @@ Components: full embed flow1 flow2 sc main nosc
 K>1 adds:   kfull (full __call__ with prefix cache), attn (attention module
             from cached keys), wgen (weight_generation with prefix)
 """
+import os
 import sys
 import time
 
@@ -29,8 +30,8 @@ SIZE = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 WHICH = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 1  # parallel streams
 NSHOT = int(sys.argv[4]) if len(sys.argv) > 4 else 1  # references (K>1: attention)
-K = 10          # scan iterations per program
-RUNS = 3        # timed program dispatches (min taken)
+K = int(os.environ.get("PROF_K", "10"))       # scan iterations per program
+RUNS = int(os.environ.get("PROF_RUNS", "3"))  # timed dispatches (min taken)
 
 
 def make_scan(fn, caps=None):
@@ -191,6 +192,25 @@ def main():
             return img * fmask[1] + warp[1] * (1 - fmask[1])
         return netG.apply(cp["var"], lbl, method=m, mutable=False)
 
+    def flow_net2b_only(lbl, cp):
+        """The shared flow net as ONE 2B-batched call (no warps) — the
+        network half of flow_generation's batched-eval path."""
+        def m(g, lb):
+            lab2 = jnp.concatenate([lb, lb], 0)
+            tgt2 = jnp.concatenate([cp["ref_l"][:, 0], cp["prev_l"]], 0)
+            img2 = jnp.concatenate([cp["ref_i"][:, 0], cp["prev_i"]], 0)
+            return g.flow_network_ref(lab2, tgt2, img2, False)
+        return netG.apply(cp["var"], lbl, method=m, mutable=False)
+
+    def warp_only(lbl, cp):
+        """The batched 2-warp alone, flow derived cheaply from the label so
+        each scan iteration gathers at different indices (no CSE)."""
+        img2 = jnp.concatenate([cp["ref_i"][:, 0], cp["prev_i"][..., -3:]], 0)
+        flow2 = jnp.concatenate(
+            [lbl[..., 0:2] * 8.0, lbl[..., 1:3] * 8.0], 0).astype(img2.dtype)
+        from fsvid2vid_tpu.ops.warp import flow_warp
+        return flow_warp(img2, flow2)
+
     # ---- K>1 components: the prefix-cached full __call__ and its pieces ----
     def kfull_step(lbl, cp):
         out = netG.apply(cp["var"], lbl, cp["ref_l"], cp["ref_i"],
@@ -232,6 +252,8 @@ def main():
         "sc": ("spade-combine embed (one)", sc_embed_only),
         "main": ("main branch (+embed)", main_branch_only),
         "nosc": ("synthesize minus sc embedders", nosc_step),
+        "flownet2b": ("flow net 2B-batched (no warp)", flow_net2b_only),
+        "warponly": ("flat-batch 2-warp only", warp_only),
         "kfull": ("full __call__ (prefix cache)", kfull_step),
         "attn": ("attention module (cached keys)", attn_only),
         "wgen": ("weight_generation (prefix)", wgen_only),
