@@ -206,8 +206,8 @@ def main():
         """The batched 2-warp alone, flow derived cheaply from the label so
         each scan iteration gathers at different indices (no CSE)."""
         img2 = jnp.concatenate([cp["ref_i"][:, 0], cp["prev_i"][..., -3:]], 0)
-        flow2 = jnp.concatenate(
-            [lbl[..., 0:2] * 8.0, lbl[..., 1:3] * 8.0], 0).astype(img2.dtype)
+        f1 = jnp.concatenate([lbl[..., :1], lbl[..., :1] * 0.5], -1) * 8.0
+        flow2 = jnp.concatenate([f1, f1 * -0.7], 0).astype(img2.dtype)
         from fsvid2vid_tpu.ops.warp import flow_warp
         return flow_warp(img2, flow2)
 
