@@ -22,6 +22,9 @@ on v5e, measured), so instead of four corner gathers this op builds an
 edge-replicated 2x2-patch image (4C channels, four cheap shifted copies) and
 fetches all four corners with ONE gather at (y0, x0) — 4x fewer indices.  Edge
 replication reproduces the x1 = min(x0+1, W-1) border clamp exactly.
+Batched inputs run as per-image B=1 gathers (unrolled at trace time): the
+per-row fetch cost against a single-image table is ~5.2 ns vs ~9-12 ns for
+flattened/batched tables (scripts/warp_opt_bench.py).
 """
 from __future__ import annotations
 
@@ -43,6 +46,14 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
       (B, H, W, C) image sampled at (x + u, y + v) with border clamping.
     """
     b, h, w, c = image.shape
+    if b > 1:
+        # Per-image B=1 gathers: XLA's point gather costs ~5.2 ns/row against
+        # a single-image table vs ~9.1 flattened across the batch and ~12
+        # batched (scripts/warp_opt_bench.py on v5e) — the smaller table
+        # roughly halves the per-row fetch cost, and the unrolled gathers
+        # pipeline.  Exact same math; trace-time unroll (b is small: 2-8).
+        return jnp.concatenate(
+            [flow_warp(image[i:i + 1], flow[i:i + 1]) for i in range(b)], 0)
     dtype = image.dtype
     fl = flow.astype(jnp.float32)
 
@@ -66,16 +77,7 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     patches = jnp.concatenate([row0, row1], axis=-1).reshape(b, h * w, 4 * c)
 
     idx = (y0i * w + x0i).reshape(b, h * w, 1)
-    if b > 1:
-        # flatten the batch into ONE gather: XLA's batched gather costs
-        # ~12 ns/row at B=2 vs ~9.5 flattened (scripts/warp_opt_bench.py on
-        # v5e) — the per-batch dimension defeats its flat-index fast path
-        off = (jnp.arange(b, dtype=jnp.int32) * (h * w)).reshape(b, 1, 1)
-        v = jnp.take_along_axis(patches.reshape(1, b * h * w, 4 * c),
-                                (idx + off).reshape(1, b * h * w, 1),
-                                axis=1).reshape(b, h, w, 4, c)
-    else:
-        v = jnp.take_along_axis(patches, idx, axis=1).reshape(b, h, w, 4, c)
+    v = jnp.take_along_axis(patches, idx, axis=1).reshape(b, h, w, 4, c)
 
     fx = fx[..., None].astype(dtype)
     fy = fy[..., None].astype(dtype)

@@ -214,6 +214,29 @@ def main():
     timed("flat-batch single gather", warp_flatbatch, image, fstacks,
           overhead, n)
 
+    # 8. B sequential B=1 warps: per-row gather cost was measured LOWER at
+    #    B=1 (6.0 ns) than flattened 2B (9.5) — is that a table-size effect
+    #    the compiler preserves when the program issues B smaller gathers?
+    def warp_split(im, flow):
+        outs = [flow_warp(im[i:i + 1], flow[i:i + 1])
+                for i in range(im.shape[0])]
+        return jnp.concatenate(outs, 0)
+
+    timed("B separate B=1 warps", warp_split, image, fstacks, overhead, n)
+
+    # 9. split + int32-packed table: pack the 4C bf16 patch row (24 B at C=3)
+    #    unchanged but gather fewer, wider rows by pairing adjacent pixels?
+    #    cannot (indices differ per pixel).  Instead: gather from a HALF-row
+    #    table (2C, top row) + second gather for bottom row, per image.
+    def warp_split_2g(im, flow):
+        outs = []
+        for i in range(im.shape[0]):
+            outs.append(warp_2gather(im[i:i + 1], flow[i:i + 1]))
+        return jnp.concatenate(outs, 0)
+
+    timed("B separate, 2-gather rows each", warp_split_2g, image, fstacks,
+          overhead, n)
+
 
 if __name__ == "__main__":
     main()
