@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--fake_dir", required=True)
     ap.add_argument("--vgg16_ckpt", default="")
     ap.add_argument("--lpips_ckpt", default="")
+    ap.add_argument("--metrics_dir", default="checkpoints/metrics",
+                    help="auto-discovery directory: vgg16.pth / lpips_vgg.pth"
+                         " / inception_v3.pth found here are used when the "
+                         "explicit --*_ckpt flags are not given")
     ap.add_argument("--inception_ckpt", default="",
                     help="torchvision-layout inception_v3 state_dict; when "
                          "given, FID uses standard InceptionV3 pool3 features")
@@ -75,6 +79,22 @@ def main():
     # fake frames define the eval resolution; reals are resized to match
     probe = load_batch(fake_paths[:1])
     size = probe.shape[1:3]
+
+    # auto-activating calibration: real feature-net checkpoints dropped into
+    # --metrics_dir are picked up without flags (the reference's perceptual
+    # stack downloads torchvision ImageNet VGG19 implicitly,
+    # /root/reference/models/networks/vgg.py:48 — this is the offline twin)
+    def discover(flag_val, fname):
+        if flag_val:
+            return flag_val
+        p = os.path.join(args.metrics_dir, fname)
+        if os.path.exists(p):
+            print(f"[eval] using discovered checkpoint {p}", file=sys.stderr)
+            return p
+        return ""
+    args.vgg16_ckpt = discover(args.vgg16_ckpt, "vgg16.pth")
+    args.lpips_ckpt = discover(args.lpips_ckpt, "lpips_vgg.pth")
+    args.inception_ckpt = discover(args.inception_ckpt, "inception_v3.pth")
 
     lpips_model = M.make_lpips(args.vgg16_ckpt or None,
                                args.lpips_ckpt or None)
@@ -105,8 +125,17 @@ def main():
     fid = M.fid_from_features(np.concatenate(feats_r),
                               np.concatenate(feats_f))
 
+    calibrated = lpips_model.calibrated and bool(args.inception_ckpt)
+    if not calibrated:
+        print("[eval] WARNING: UNCALIBRATED metrics — LPIPS/FID use "
+              "seeded-random feature nets (no pretrained checkpoints found); "
+              "values are self-consistent for tracking but NOT comparable to "
+              "published numbers. Drop vgg16.pth/lpips_vgg.pth/"
+              f"inception_v3.pth into {args.metrics_dir}/ to calibrate.",
+              file=sys.stderr)
     print(json.dumps({
         "n_frames": int(n),
+        "calibrated": calibrated,
         "lpips": float(lp.mean()),
         "lpips_calibrated": lpips_model.calibrated,
         "fid": fid,

@@ -169,6 +169,12 @@ class Config:
     spd_inference: bool = True       # space-to-depth layout for small-channel
     # full-res conv stages at eval (ops/spd.py) — exact math, 128-lane packing
     flow_teacher: str = "flownet2"   # 'flownet2' | 'none'
+    step_mode: str = "vjp"           # 'vjp' (default: ONE vjp-linearized
+    # generation shared by the D and G phases — bitwise step-1 parity, one
+    # full generator forward cheaper) | 'faithful' (training/step.py::
+    # train_step_faithful — the reference's exact alternation, two generator
+    # forwards per iteration with per-phase spectral advancement; every-step
+    # loss parity with torch, docs/CONVERGENCE.md).  CLI: train.py --faithful
     sn_power_iters: int = 1          # spectral u/v power iterations per step;
     # 1 = exact step-1 parity with the reference's D phase, 2 = match its
     # effective 2-forwards-per-iteration advancement (long-horizon GAN

@@ -41,11 +41,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_block(total: int, target: int) -> int:
-    """Largest divisor of `total` that is <= target."""
+    """Largest divisor of `total` that is <= target and a multiple of 8.
+
+    The sublane dimension of every VMEM block must be 8-aligned for Mosaic;
+    callers guarantee total % 8 == 0, so 8 itself is always available even
+    when `total` has odd cofactors (e.g. hw = 8 * 353 -> 706 is a divisor
+    but not 8-aligned; this returns 8)."""
     b = min(target, total)
-    while total % b:
-        b -= 1
-    return b
+    b -= b % 8
+    while b > 8 and total % b:
+        b -= 8
+    return max(b, 8)
+
+
+def _vmem_bytes(qb: int, kb: int, c: int, n_refs: int, has_lf: bool,
+                in_bytes: int) -> int:
+    """Upper-bound the kernel's per-core VMEM working set for a block choice:
+    pipelined input/output blocks (x2 for double buffering), the f32 energy
+    (s and p coexist), the concatenated-value matmul operands, and the f32
+    scratch accumulators."""
+    nv = 3 if has_lf else 2                       # key + value streams
+    io = 2 * (qb * c + nv * kb * c + (2 if has_lf else 1) * qb * c) * in_bytes
+    energy = 2 * qb * kb * 4                      # s + p
+    cat = (kb * 2 * c * in_bytes + qb * 2 * c * 4) if has_lf else qb * c * 4
+    scr = (qb * (2 + n_refs) + qb * c * (2 if has_lf else 1)) * 4
+    return io + energy + cat + scr + 2 * qb * n_refs * 4
+
+
+def _choose_blocks(hw: int, hw_key: int, c: int, n_refs: int, has_lf: bool,
+                   in_bytes: int, q_target: int, k_target: int,
+                   budget: int = 12 << 20):
+    """Largest 8-aligned (qb, kb) divisors within the targets whose estimated
+    working set fits the VMEM budget (~12 MB of the ~16 MB/core, leaving
+    headroom for Mosaic's own buffers).  Shrinks the larger block first;
+    floor is (8, 8), which always fits for c <= 512."""
+    qb = _pick_block(hw, q_target)
+    kb = _pick_block(hw_key, k_target)
+    while _vmem_bytes(qb, kb, c, n_refs, has_lf, in_bytes) > budget:
+        if qb >= kb and qb > 8:
+            qb = _pick_block(hw, qb // 2)
+        elif kb > 8:
+            kb = _pick_block(hw_key, kb // 2)
+        else:
+            break
+    return qb, kb
 
 
 def _kernel(refs, *, n_refs, kb, hw_key, has_lf):
@@ -136,9 +175,9 @@ def flash_ref_attention(query: jnp.ndarray, key: jnp.ndarray,
     b, hw, c = query.shape
     n = key.shape[1]
     hw_key = n // n_refs
-    qb = _pick_block(hw, q_block)
-    kb = _pick_block(hw_key, k_block)
     has_lf = lf is not None
+    qb, kb = _choose_blocks(hw, hw_key, c, n_refs, has_lf,
+                            jnp.dtype(xf.dtype).itemsize, q_block, k_block)
     grid = (b, hw // qb, n // kb)
 
     q_spec = pl.BlockSpec((1, qb, c), lambda bi, qi, ki: (bi, qi, 0))

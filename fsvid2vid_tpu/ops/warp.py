@@ -46,12 +46,16 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
       (B, H, W, C) image sampled at (x + u, y + v) with border clamping.
     """
     b, h, w, c = image.shape
-    if b > 1:
+    if 1 < b <= 8:
         # Per-image B=1 gathers: XLA's point gather costs ~5.2 ns/row against
         # a single-image table vs ~9.1 flattened across the batch and ~12
         # batched (scripts/warp_opt_bench.py on v5e) — the smaller table
         # roughly halves the per-row fetch cost, and the unrolled gathers
-        # pipeline.  Exact same math; trace-time unroll (b is small: 2-8).
+        # pipeline.  Exact same math; trace-time unroll.  Capped at b<=8:
+        # larger batches (e.g. the reference's bs30 pose config under GSPMD,
+        # or FlowNet2's internal warps at batch*frames) keep the single
+        # batched gather — unrolling there multiplies gather/scatter HLO in
+        # the backward and compile time faster than it saves fetch cost.
         return jnp.concatenate(
             [flow_warp(image[i:i + 1], flow[i:i + 1]) for i in range(b)], 0)
     dtype = image.dtype

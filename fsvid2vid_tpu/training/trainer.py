@@ -28,7 +28,8 @@ from fsvid2vid_tpu.parallel.mesh import make_mesh, shard_batch
 from fsvid2vid_tpu.training import checkpoint as ckpt_lib
 from fsvid2vid_tpu.training.state import (
     ModelBundle, TrainState, build_models, init_state, set_epoch_lr)
-from fsvid2vid_tpu.training.step import StepFlags, init_prevs, train_step
+from fsvid2vid_tpu.training.step import (
+    StepFlags, init_prevs, train_step, train_step_faithful)
 
 
 def n_frames_total_for_epoch(cfg: Config, epoch: int) -> int:
@@ -175,7 +176,9 @@ class Trainer:
                                   has_prev=warp_prev and t > 0,
                                   use_pool=self.pool is not None)
                 rng, step_rng = jax.random.split(rng)
-                self.state, prevs, losses, visuals = train_step(
+                step_fn = (train_step_faithful
+                           if cfg.step_mode == "faithful" else train_step)
+                self.state, prevs, losses, visuals = step_fn(
                     cfg, self.models, self.state, batch_t, prevs, flags,
                     step_rng)
                 if self.pool is not None:

@@ -126,7 +126,8 @@ def make_batches(n_steps, n_seq=8, n_frames=12):
 # torch reference side
 # ----------------------------------------------------------------------
 
-def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
+def run_torch(batches, state_out, lpips_cb=None, lpips_every=0, seed=0,
+              perturb=0.0):
     sys.path.insert(0, "/root/repo/tests")
     from reference_loader import (load_reference_modules, make_reference_opt,
                                   install_vgg19_weights)
@@ -168,7 +169,7 @@ def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
                      betas=(float(betas[0]), float(betas[1])), **kw)
     torch.optim.Adam = adam_float_betas
 
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     model = Vid2VidModel()
     model.initialize(opt, epoch=0)
     model.lossCollector.tD = 1
@@ -194,6 +195,16 @@ def run_torch(batches, state_out, lpips_cb=None, lpips_every=0):
     model.netG.init_temporal_network()
     torch.save({"G": model.netG.state_dict(),
                 "D": model.netD.state_dict()}, state_out)
+
+    if perturb:
+        # torch-vs-torch sensitivity control (--perturb): scale every weight
+        # by (1 + eps) AFTER the state export — eps ~1e-7 is ~1 ULP in fp32,
+        # so two torch runs differing only by this measure the reference's
+        # own sensitive-dependence spread under the identical protocol.
+        with torch.no_grad():
+            for net in (model.netG, model.netD):
+                for q in net.parameters():
+                    q.mul_(1.0 + perturb)
 
     records = []
     for step, b in enumerate(batches):
@@ -336,9 +347,20 @@ def main():
                         "the fewshot_pose torch config (aux face D off on "
                         "both sides)")
     p.add_argument("--reuse-torch", default="",
-                   help="JSONL from a previous identical run: skip the torch "
-                        "stack and reuse its records (requires the matching "
-                        "/tmp/convergence_init.pt from that run)")
+                   help="a previous identical run's OUT.json (or its "
+                        ".torch.jsonl twin): skip the torch stack and reuse "
+                        "its records + its exported OUT.json.init.pt init")
+    p.add_argument("--torch-only", action="store_true",
+                   help="run ONLY the torch reference side and write "
+                        "OUT.torch.jsonl — used for torch-vs-torch variance "
+                        "controls (docs/CONVERGENCE.md round 5)")
+    p.add_argument("--torch-seed", type=int, default=0,
+                   help="torch.manual_seed for network init (data batches "
+                        "stay identical); !=0 gives a different-init control")
+    p.add_argument("--perturb", type=float, default=0.0,
+                   help="torch-side: scale all weights by (1+eps) after "
+                        "init/burn-in — ~1e-7 is a 1-ULP fp32 perturbation "
+                        "control isolating sensitive dependence")
     a = p.parse_args()
     SIZE, NGF, USE_VGG, WORKLOAD = a.size, a.ngf, a.vgg, a.workload
 
@@ -367,27 +389,54 @@ def main():
     # run-specific state path: a fixed /tmp name lets a concurrent run
     # clobber the exported init between the torch and ours halves
     state_pt = a.out + ".init.pt"
+    meta = {"meta": {"lpips_calibrated": False,
+                     "note": "LPIPS from a seeded-random feature net — "
+                             "self-consistent across the two stacks, not "
+                             "comparable to published numbers"}}
     if a.reuse_torch:
         with open(a.reuse_torch) as f:
-            t_rec = [json.loads(line)["torch"] for line in f]
+            t_rec = [json.loads(line)["torch"] for line in f
+                     if "\"torch\"" in line]
         assert len(t_rec) >= a.steps, "cached torch run too short"
         t_rec = t_rec[:a.steps]
-        state_pt = a.reuse_torch + ".init.pt"
+        # the init is exported as OUT.json.init.pt while the cached records
+        # live in OUT.json.torch.jsonl — accept either name and derive the
+        # init from the run stem (a stale init from an unrelated run would
+        # silently break the parity comparison, so missing => hard error)
+        stem = a.reuse_torch
+        if stem.endswith(".torch.jsonl"):
+            stem = stem[:-len(".torch.jsonl")]
+        state_pt = stem + ".init.pt"
         if not os.path.exists(state_pt):
-            state_pt = "/tmp/convergence_init.pt"  # pre-round-4 runs
+            sys.exit(f"--reuse-torch: cached init {state_pt} not found; "
+                     "rerun the torch side (refusing to fall back to an "
+                     "unrelated init)")
         print(f"[torch records reused from {a.reuse_torch}]", flush=True)
     else:
-        t_rec = run_torch(batches, state_pt, lpips_cb, a.lpips_every)
+        t_rec = run_torch(batches, state_pt, lpips_cb, a.lpips_every,
+                          seed=a.torch_seed, perturb=a.perturb)
         # persist the torch half immediately: the ours half can crash
         with open(a.out + ".torch.jsonl", "w") as f:
+            if a.lpips_every:
+                f.write(json.dumps(meta) + "\n")
             for i, t in enumerate(t_rec):
                 f.write(json.dumps({"step": i, "torch": t}) + "\n")
         print("[torch reference done]", flush=True)
+    if a.torch_only:
+        t_l = [r["lpips"] for r in t_rec if "lpips" in r]
+        for k in LOSS_KEYS + (["G_VGG"] if USE_VGG else []):
+            print(f"{k:12s} EMA@{a.steps}: {ema([r[k] for r in t_rec])[-1]:.4f}")
+        if t_l:
+            print("LPIPS curve (torch):", " ".join(f"{v:.4f}" for v in t_l))
+        print(f"[torch-only done -> {a.out}.torch.jsonl]", flush=True)
+        return
     j_rec = run_ours(batches, state_pt, lpips_cb,
                      a.lpips_every, sn2=a.sn2, faithful=a.faithful)
     print("[ours done]", flush=True)
 
     with open(a.out, "w") as f:
+        if a.lpips_every:
+            f.write(json.dumps(meta) + "\n")
         for i, (t, j) in enumerate(zip(t_rec, j_rec)):
             f.write(json.dumps({"step": i, "torch": t, "ours": j}) + "\n")
 

@@ -1,4 +1,4 @@
-"""Round-4 end-to-end demo: train -> test -> eval -> HTML, all in-framework.
+"""Round-4 end-to-end demo (artifacts re-recorded each round): train -> test -> eval -> HTML, all in-framework.
 
 Synthesizes a structured face-style dataset (smooth keypoint tracks; images
 are a deterministic render of the keypoints, so label->image is learnable),
@@ -10,7 +10,7 @@ downloadable in this environment, see eval/metrics.py).
 
 This is the reference's full user workflow (train.py -> test.py ->
 util/visualizer.py pages) executed end-to-end in this framework on real
-hardware.  Artifacts -> demo_r4/ (metrics JSON + loss log + a sample frame).
+hardware.  Artifacts -> demo_r5/ (metrics JSON + loss log + a sample frame).
 
 Usage: python scripts/demo_train_eval.py [WORKDIR] [STEPS_PER_EPOCH] [EPOCHS]
 """
@@ -25,7 +25,7 @@ import numpy as np
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/demo_r4"
+WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/demo_r5"
 SPE = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 EPOCHS = int(sys.argv[3]) if len(sys.argv) > 3 else 6
 SIZE = 256
@@ -139,18 +139,18 @@ def main():
     metrics = json.loads(
         [l for l in out.splitlines() if l.strip().startswith("{")][-1])
 
-    os.makedirs(os.path.join(REPO, "demo_r4"), exist_ok=True)
-    with open(os.path.join(REPO, "demo_r4", "metrics.json"), "w") as f:
+    os.makedirs(os.path.join(REPO, "demo_r5"), exist_ok=True)
+    with open(os.path.join(REPO, "demo_r5", "metrics.json"), "w") as f:
         json.dump(dict(metrics=metrics, steps=SPE * EPOCHS,
                        config="face-256 bs4", workdir=WORK), f, indent=2)
     loss_log = os.path.join(ckpt, "demo", "loss_log.txt")
     if os.path.exists(loss_log):
-        shutil.copy(loss_log, os.path.join(REPO, "demo_r4", "loss_log.txt"))
+        shutil.copy(loss_log, os.path.join(REPO, "demo_r5", "loss_log.txt"))
     if fakes:
         shutil.copy(os.path.join(fake_stage, fakes[-1]),
-                    os.path.join(REPO, "demo_r4", "sample_synthesized.jpg"))
+                    os.path.join(REPO, "demo_r5", "sample_synthesized.jpg"))
         shutil.copy(os.path.join(real_stage, fakes[-1]),
-                    os.path.join(REPO, "demo_r4", "sample_real.jpg"))
+                    os.path.join(REPO, "demo_r5", "sample_real.jpg"))
     print(json.dumps(metrics), flush=True)
 
 

@@ -10,7 +10,7 @@ from fsvid2vid_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from fsvid2vid_tpu.training.state import (
     build_models, init_state, set_epoch_lr, lr_for_epoch)
 from fsvid2vid_tpu.training.step import (
-    StepFlags, init_prevs, train_step)
+    StepFlags, init_prevs, train_step, train_step_faithful)
 
 pytestmark = pytest.mark.slow  # >60s on one CPU (see pytest.ini)
 
@@ -144,6 +144,30 @@ class TestDataParallel:
         for k in losses_1:
             # reduction order differs across shards; near-zero GAN logits
             # make pure-relative comparison brittle
+            np.testing.assert_allclose(float(losses_1[k]), float(losses_8[k]),
+                                       rtol=5e-3, atol=1e-3)
+
+    def test_faithful_sharded_matches_single_device(self, rng):
+        """The reference-faithful step (cfg.step_mode='faithful', train.py
+        --faithful) must hold the same sharded == single-device parity as the
+        default vjp step: its gradient psums and global batch stats are
+        psum-by-construction under GSPMD across BOTH generator forwards
+        (round-5 verdict #4; kept out of __graft_entry__.dryrun_multichip
+        because the two-forward graph doubles that artifact's compile time)."""
+        cfg = tiny_cfg(batch_size=4)
+        mesh = make_mesh(4)
+        models = build_models(cfg)
+        batch = make_batch(cfg, rng, b=4)
+        state = init_state(cfg, models, jax.random.PRNGKey(0), batch)
+        prevs = init_prevs(cfg, batch)
+        flags = StepFlags(False, False)
+        _, _, losses_1, _ = train_step_faithful(
+            cfg, models, state, batch, prevs, flags, jax.random.PRNGKey(1))
+        batch_s = shard_batch(mesh, batch)
+        _, _, losses_8, _ = train_step_faithful(
+            cfg, models, replicate(mesh, state), batch_s,
+            shard_batch(mesh, prevs), flags, jax.random.PRNGKey(1))
+        for k in losses_1:
             np.testing.assert_allclose(float(losses_1[k]), float(losses_8[k]),
                                        rtol=5e-3, atol=1e-3)
 

@@ -70,6 +70,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--sn_power_iters", type=int, default=None,
                    help="spectral power iterations per step (2 matches the "
                         "reference's effective advancement; docs/CONVERGENCE.md)")
+    p.add_argument("--faithful", action="store_true",
+                   help="reference-faithful alternation (two generator "
+                        "forwards per iteration, every-step loss parity with "
+                        "torch — cfg.step_mode='faithful'; the default "
+                        "single-vjp step is one forward cheaper)")
     p.add_argument("--lambda_temp", type=float, default=None)
     p.add_argument("--load_pretrain", type=str, default=None,
                    help="checkpoint dir to warm-start network weights from "
@@ -110,6 +115,8 @@ def config_from_args(args, is_train: bool = True):
                  if v is not None and v is not False and v != ""
                  and k in _config_fields()}
     overrides["is_train"] = is_train
+    if getattr(args, "faithful", False):
+        overrides["step_mode"] = "faithful"
     cfg = preset(workload, **overrides)
     if args.debug:
         cfg = cfg.debug_shrink()
