@@ -168,6 +168,12 @@ class Config:
     use_pallas: bool = True          # pallas kernels for warp/cost-volume hot ops
     spd_inference: bool = True       # space-to-depth layout for small-channel
     # full-res conv stages at eval (ops/spd.py) — exact math, 128-lane packing
+    spd_train: bool = True           # extend the STD layout to TRAIN-mode
+    # flow nets (round 5): SNConv normalizes the ORIGINAL kernel before the
+    # STD scatter and SyncBatchNorm reduces batch stats over the phase dim,
+    # so both forward and gradients are the exact unpacked math (parity
+    # asserted in tests/test_spd.py); the <=2*nff-channel full-res stages
+    # otherwise waste 2-4x of the 128-wide vector lanes in NHWC
     flow_teacher: str = "flownet2"   # 'flownet2' | 'none'
     step_mode: str = "vjp"           # 'vjp' (default: ONE vjp-linearized
     # generation shared by the D and G phases — bitwise step-1 parity, one

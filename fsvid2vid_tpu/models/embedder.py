@@ -38,6 +38,9 @@ class LabelEmbedder(nn.Module):
     params_free_layers: int = 0
     first_layer_free: bool = False
     spd_inference: bool = False    # eval-time space-to-depth for levels 0-1
+    spd_train: bool = False        # extend STD to train mode (round 5): the
+    # embedder is norm-free plain convs, so the scattered-kernel formulation
+    # is exact for forward AND gradients (tests/test_spd.py train parity)
 
     @property
     def unet(self):
@@ -68,7 +71,8 @@ class LabelEmbedder(nn.Module):
             return SNConv(f, 3, use_sn=False,
                           kernel_init=xavier_normal_init(), name=name)
 
-        use_spd = (self.spd_inference and not train and weights is None
+        use_spd = (self.spd_inference and (not train or self.spd_train)
+                   and weights is None
                    and not self.first_layer_free and nd >= 2
                    and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
         if use_spd:

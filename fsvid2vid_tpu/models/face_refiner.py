@@ -71,21 +71,28 @@ def get_face_boxes(cfg: Config, pose: jnp.ndarray,
 
 
 def crop_face_region(cfg: Config, image, input_label: jnp.ndarray,
-                     crop_smaller: int = 0):
+                     crop_smaller: int = 0, boxes=None):
     """Crop the face box (of the LAST 3 channels) and resize to face_size
-    (face_refiner.py:33-40).  image may be a list."""
+    (face_refiner.py:33-40).  image may be a list.  `boxes` lets callers that
+    crop/paste repeatedly reuse one box computation (the box reduction scans
+    the full-res label)."""
     if isinstance(image, (list, tuple)):
-        return [crop_face_region(cfg, im, input_label, crop_smaller)
+        if boxes is None:
+            boxes = get_face_boxes(cfg, input_label, crop_smaller)
+        return [crop_face_region(cfg, im, input_label, crop_smaller, boxes)
                 for im in image]
     fs = face_size_of(cfg)
-    boxes = get_face_boxes(cfg, input_label, crop_smaller)
+    if boxes is None:
+        boxes = get_face_boxes(cfg, input_label, crop_smaller)
     return crop_resize(image[..., -3:], boxes, (fs, fs))
 
 
 def replace_face_region(cfg: Config, fake_image, fake_face, input_label,
-                        fake_face_coarse=None, crop_smaller: int = 0):
+                        fake_face_coarse=None, crop_smaller: int = 0,
+                        boxes=None):
     """Paste the refined face back, clamped to [-1, 1] (face_refiner.py:43-51)."""
-    boxes = get_face_boxes(cfg, input_label, crop_smaller)
+    if boxes is None:
+        boxes = get_face_boxes(cfg, input_label, crop_smaller)
     face = fake_face + (fake_face_coarse if fake_face_coarse is not None else 0)
     face = jnp.clip(face, -1.0, 1.0)
     return paste_region(fake_image, face, boxes)
@@ -98,12 +105,13 @@ def refine_face_region(cfg: Config, netGf_apply, label_valid, fake_image,
 
     netGf_apply(label_face, ref_label_face, ref_img_face, img_coarse) -> face.
     """
+    boxes = get_face_boxes(cfg, label, crop_smaller=4)
     label_face, coarse_face = crop_face_region(
-        cfg, [label_valid, fake_image], label, crop_smaller=4)
+        cfg, [label_valid, fake_image], label, crop_smaller=4, boxes=boxes)
     ref_label_face, ref_img_face = crop_face_region(
         cfg, [ref_label_valid, ref_image], ref_label, crop_smaller=4)
     coarse_face = jax.lax.stop_gradient(coarse_face)
     fake_face = netGf_apply(label_face, ref_label_face[:, None],
                             ref_img_face[:, None], coarse_face)
     return replace_face_region(cfg, fake_image, fake_face, label,
-                               coarse_face, crop_smaller=4)
+                               coarse_face, crop_smaller=4, boxes=boxes)

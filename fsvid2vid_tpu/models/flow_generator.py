@@ -72,11 +72,14 @@ class FlowGenerator(nn.Module):
                     h = plain(h, train)
             return leaky_relu(h)
 
-        # STD fast path: levels 0 and 1 phase-packed.  Eval-only (batch-norm
-        # running stats tile cleanly; instance norm would not), even sizes,
-        # >=2 downsamples.
-        use_spd = (not train and cfg.spd_inference and nd >= 2
-                   and "instance" not in norm
+        # STD fast path: levels 0 and 1 phase-packed.  Eval uses running
+        # stats (tile cleanly over phases); train (cfg.spd_train) reduces
+        # batch stats over the phase dim (SyncBatchNorm spd=True) and
+        # spectral-normalizes the ORIGINAL kernel before the STD scatter —
+        # exact unpacked math either way.  Instance norm excluded (its
+        # per-position stats do not tile), sizes must be multiples of 4.
+        use_spd = ((not train or cfg.spd_train) and cfg.spd_inference
+                   and nd >= 2 and "instance" not in norm
                    and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0)
 
         if use_spd:

@@ -236,14 +236,16 @@ class FewShotGenerator(nn.Module):
             if cfg.spade_combine:
                 self.img_ref_embedding = embed_cls(
                     arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd,
-                    spd_inference=cfg.spd_inference)
+                    spd_inference=cfg.spd_inference,
+                    spd_train=cfg.spd_train)
         if not self.for_face and cfg.n_frames_G > 1:
             if not self.cfg.flow_temp_is_shared:
                 self.flow_network_temp = flow_cls(cfg, cfg.n_frames_G)
             if cfg.spade_combine and not cfg.prev_embedding_is_shared:
                 self.img_prev_embedding = embed_cls(
                     arch=cfg.sc_arch, nf=cfg.ngf, n_downsample=self.nd,
-                    spd_inference=cfg.spd_inference)
+                    spd_inference=cfg.spd_inference,
+                    spd_train=cfg.spd_train)
 
     # ------------------------------------------------------------------
     # attention (generator.py:291-316)

@@ -163,11 +163,28 @@ class SyncBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda *_: jnp.ones(self.features), None)
         if spd:
-            # space-to-depth layout, eval only: running stats + affine are
-            # per-ORIGINAL-channel, tiled over the 4 phase blocks
-            assert not train
-            mean = spd_tile_channel(ra_mean.value)
-            var = spd_tile_channel(ra_var.value)
+            # space-to-depth layout: stats + affine are per-ORIGINAL-channel,
+            # tiled over the 4 phase blocks.  Train mode reduces over
+            # (B, H', W', phase) — the STD packing is a bijection of spatial
+            # positions per channel, so the statistics (and their gradients)
+            # are bit-equal in expectation to the unpacked layout.
+            if train:
+                b_, h_, w_, c4 = x.shape
+                xp = x.astype(jnp.float32).reshape(b_, h_, w_, 4,
+                                                   self.features)
+                mean = xp.mean((0, 1, 2, 3))
+                var = xp.var((0, 1, 2, 3))
+                if not self.is_initializing():
+                    n = b_ * h_ * w_ * 4
+                    unbiased = var * (n / max(n - 1, 1))
+                    ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                     + self.momentum * mean)
+                    ra_var.value = ((1 - self.momentum) * ra_var.value
+                                    + self.momentum * unbiased)
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            mean = spd_tile_channel(mean)
+            var = spd_tile_channel(var)
             y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
             if self.affine:
                 scale = self.param(

@@ -115,59 +115,77 @@ def main():
     zg_G = jax.tree.map(jnp.zeros_like, state.params_G)
     zg_D = jax.tree.map(jnp.zeros_like, state.params_D)
 
-    # ---- stage functions: (batch,) -> pytree; close over state via CAPS ----
-    def full_fn(b):
-        st2, pv2, losses, _vis = train_step(cfg, models, state, wrap(b),
-                                            prevs, flags, jax.random.PRNGKey(0))
-        return losses["G_total"] + losses["D_total"]
+    # everything a stage touches rides in CAPS (a jit ARGUMENT, not a
+    # closure capture — captures are baked into the HLO as constants and
+    # overflow the remote-compile request: profile_frame.py:40-43)
+    CAPS = dict(state=state, prevs=prevs, outputs0=outputs0, masks0=masks0,
+                refs0=refs0, gen_det=gen_det, zg_G=zg_G, zg_D=zg_D)
 
-    def gen_fwd_fn(b):
-        out, _, _, _ = generate_images(cfg, models, state.params_G,
-                                       state.aux_G, wrap(b), prevs, flags,
+    # ---- stage functions: (batch, caps) -> pytree ----
+    def full_fn(b, cp):
+        st2, pv2, losses, _vis = train_step(cfg, models, cp["state"], wrap(b),
+                                            cp["prevs"], flags,
+                                            jax.random.PRNGKey(0))
+        # return the UPDATED params, not just the loss scalars: the loss
+        # values depend only on the forwards, so returning losses alone lets
+        # XLA dead-code-eliminate the entire backward + optimizer
+        return (st2.params_G, st2.params_D,
+                losses["G_total"] + losses["D_total"])
+
+    def gen_fwd_fn(b, cp):
+        st = cp["state"]
+        out, _, _, _ = generate_images(cfg, models, st.params_G,
+                                       st.aux_G, wrap(b), cp["prevs"], flags,
                                        train=True)
         return [v for v in out.values()
                 if v is not None and hasattr(v, "dtype")]
 
-    def gen_fwdbwd_fn(b):
+    def gen_fwdbwd_fn(b, cp):
+        st = cp["state"]
         def f(pg):
-            out, _, _, _ = generate_images(cfg, models, pg, state.aux_G,
-                                           wrap(b), prevs, flags, train=True)
+            out, _, _, _ = generate_images(cfg, models, pg, st.aux_G,
+                                           wrap(b), cp["prevs"], flags,
+                                           train=True)
             return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values()
                        if v is not None and hasattr(v, "dtype"))
-        return jax.grad(f)(state.params_G)
+        return jax.grad(f)(st.params_G)
 
-    def d_phase_fn(b):
+    def d_phase_fn(b, cp):
+        st = cp["state"]
         def f(pd):
-            tot, aux = _d_losses(cfg, models, pd, state.aux_D, gen_det,
-                                 wrap(b), prevs, masks0, refs0, flags)
+            tot, aux = _d_losses(cfg, models, pd, st.aux_D, cp["gen_det"],
+                                 wrap(b), cp["prevs"], cp["masks0"],
+                                 cp["refs0"], flags)
             return tot
-        grads = jax.grad(f)(state.params_D)
-        upd, _ = opt_D_tx.update(grads, state.opt_D, state.params_D)
-        return optax.apply_updates(state.params_D, upd)
+        grads = jax.grad(f)(st.params_D)
+        upd, _ = opt_D_tx.update(grads, st.opt_D, st.params_D)
+        return optax.apply_updates(st.params_D, upd)
 
-    def g_loss_fwd_fn(b):
-        tot, aux = _g_losses(cfg, models, state.params_D, state.aux_D,
-                             state.vgg_params, wrap(b), prevs, flags,
-                             outputs0, masks0, refs0)
+    def g_loss_fwd_fn(b, cp):
+        st = cp["state"]
+        tot, aux = _g_losses(cfg, models, st.params_D, st.aux_D,
+                             st.vgg_params, wrap(b), cp["prevs"], flags,
+                             cp["outputs0"], cp["masks0"], cp["refs0"])
         return tot
 
-    def g_phase_fn(b):
+    def g_phase_fn(b, cp):
+        st = cp["state"]
         def f(pg):
-            out, msk, rfs, _ = generate_images(cfg, models, pg, state.aux_G,
-                                               wrap(b), prevs, flags,
+            out, msk, rfs, _ = generate_images(cfg, models, pg, st.aux_G,
+                                               wrap(b), cp["prevs"], flags,
                                                train=True)
-            tot, _aux = _g_losses(cfg, models, state.params_D, state.aux_D,
-                                  state.vgg_params, wrap(b), prevs, flags,
+            tot, _aux = _g_losses(cfg, models, st.params_D, st.aux_D,
+                                  st.vgg_params, wrap(b), cp["prevs"], flags,
                                   out, msk, rfs)
             return tot
-        grads = jax.grad(f)(state.params_G)
-        upd, _ = opt_G_tx.update(grads, state.opt_G, state.params_G)
-        return optax.apply_updates(state.params_G, upd)
+        grads = jax.grad(f)(st.params_G)
+        upd, _ = opt_G_tx.update(grads, st.opt_G, st.params_G)
+        return optax.apply_updates(st.params_G, upd)
 
-    def vgg_fwdbwd_fn(b):
+    def vgg_fwdbwd_fn(b, cp):
         from fsvid2vid_tpu.losses import collector as lc
         from fsvid2vid_tpu.training.step import _vgg_apply
-        vgg_apply = _vgg_apply(models, state.vgg_params,
+        vgg_apply = _vgg_apply(models, cp["state"].vgg_params,
                                cfg.remat_scope("vgg"))
         if vgg_apply is None:
             return jnp.float32(0)
@@ -176,40 +194,204 @@ def main():
                                          b["tgt_image"], None)
         return jax.grad(f)(b["tgt_image"] * 0.9)
 
-    def flow_fwdbwd_fn(b):
+    def flow_fwdbwd_fn(b, cp):
         netG = models.netG
+        st = cp["state"]
         def f(pg):
             def m(g, lb):
                 out = g.flow_generation(lb, b["ref_labels"], b["ref_images"],
-                                        prevs["label"], prevs["fake"], None,
+                                        cp["prevs"]["label"],
+                                        cp["prevs"]["fake"], None,
                                         True, True)
                 return sum(jnp.sum(t.astype(jnp.float32))
                            for part in out[:3] for t in (part or [])
                            if t is not None)
-            return netG.apply({"params": pg["G"], **state.aux_G["G"]},
-                              b["tgt_label"].astype(jnp.bfloat16),
-                              method=m, mutable=False)
+            out, _ = netG.apply({"params": pg["G"], **st.aux_G["G"]},
+                                b["tgt_label"].astype(jnp.bfloat16),
+                                method=m,
+                                mutable=["spectral", "batch_stats"])
+            return out
         from fsvid2vid_tpu.parallel.precision import cast_floating
         return jax.grad(lambda pg: f(cast_floating(pg, jnp.bfloat16)))(
-            state.params_G)
+            st.params_G)
 
-    def opt_only_fn(b):
-        uG, _ = opt_G_tx.update(zg_G, state.opt_G, state.params_G)
-        uD, _ = opt_D_tx.update(zg_D, state.opt_D, state.params_D)
-        return (optax.apply_updates(state.params_G, uG),
-                optax.apply_updates(state.params_D, uD))
+    # ---- train-mode per-subnet forward probes (where do gen_fwd's bytes
+    # go?).  Each applies one sub-network with train=True through netG.apply
+    # (mutable spectral/batch_stats discarded — cost identical).
+    def _apply_m(cp, m, *args):
+        st = cp["state"]
+        out, _ = models.netG.apply(
+            {"params": st.params_G["G"], **st.aux_G["G"]}, *args, method=m,
+            mutable=["spectral", "batch_stats"])
+        return out
+
+    def wgen_fwd_fn(b, cp):
+        def m(g, lb):
+            x, gen = g.weight_generation(
+                b["ref_images"].astype(jnp.bfloat16),
+                b["ref_labels"].astype(jnp.bfloat16), lb, train=True)
+            return [x] + [t for t in jax.tree.leaves(
+                (gen["conv_weights"], gen["norm_weights"],
+                 gen["embedding_weights"]))]
+        return _apply_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def wgen_fwdbwd_fn(b, cp):
+        st = cp["state"]
+        from fsvid2vid_tpu.parallel.precision import cast_floating
+        def f(pg):
+            def m(g, lb):
+                x, gen = g.weight_generation(
+                    b["ref_images"].astype(jnp.bfloat16),
+                    b["ref_labels"].astype(jnp.bfloat16), lb, train=True)
+                return sum(jnp.sum(t.astype(jnp.float32))
+                           for t in [x] + jax.tree.leaves(
+                               (gen["conv_weights"], gen["norm_weights"],
+                                gen["embedding_weights"])))
+            out, _ = models.netG.apply(
+                {"params": cast_floating(pg["G"], jnp.bfloat16),
+                 **st.aux_G["G"]},
+                b["tgt_label"].astype(jnp.bfloat16), method=m,
+                mutable=["spectral", "batch_stats"])
+            return out
+        return jax.grad(f)(st.params_G)
+
+    def mainchain_fwd_fn(b, cp):
+        """weight_generation + label_embedding + _main_branch, train mode —
+        the non-flow, non-SC half of generation."""
+        def m(g, lb):
+            x, gen = g.weight_generation(
+                b["ref_images"].astype(jnp.bfloat16),
+                b["ref_labels"].astype(jnp.bfloat16), lb, train=True)
+            enc = g.label_embedding(lb, weights=gen["embedding_weights"],
+                                    train=True)
+            img, raw = g._main_branch(x, enc, gen, lb, train=True)
+            return [img] + ([raw] if raw is not None else [])
+        return _apply_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def scembed_fwd_fn(b, cp):
+        """One SC-embedder pyramid, train mode (eval runs the ref+prev pair
+        2B-batched; training runs two separate calls)."""
+        def m(g, lb):
+            ds = jnp.concatenate([b["ref_images"][:, 0].astype(jnp.bfloat16),
+                                  lb[..., :1]], axis=-1)
+            return g.img_ref_embedding(ds, None, True)
+        return _apply_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def labelembed_fwd_fn(b, cp):
+        def m(g, lb):
+            return g.label_embedding(lb, weights=None, train=True)
+        return _apply_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def _grad_m(cp, make_m, *args):
+        """grad of a scalarized netG method application wrt params_G."""
+        st = cp["state"]
+        from fsvid2vid_tpu.parallel.precision import cast_floating
+        def f(pg):
+            out, _ = models.netG.apply(
+                {"params": cast_floating(pg["G"], jnp.bfloat16),
+                 **st.aux_G["G"]}, *args, method=make_m,
+                mutable=["spectral", "batch_stats"])
+            return sum(jnp.sum(t.astype(jnp.float32))
+                       for t in jax.tree.leaves(out))
+        return jax.grad(f)(st.params_G)
+
+    def mainchain_fwdbwd_fn(b, cp):
+        def m(g, lb):
+            x, gen = g.weight_generation(
+                b["ref_images"].astype(jnp.bfloat16),
+                b["ref_labels"].astype(jnp.bfloat16), lb, train=True)
+            enc = g.label_embedding(lb, weights=gen["embedding_weights"],
+                                    train=True)
+            img, raw = g._main_branch(x, enc, gen, lb, train=True)
+            return [img] + ([raw] if raw is not None else [])
+        return _grad_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def scembed_fwdbwd_fn(b, cp):
+        def m(g, lb):
+            ds = jnp.concatenate([b["ref_images"][:, 0].astype(jnp.bfloat16),
+                                  lb[..., :1]], axis=-1)
+            return g.img_ref_embedding(ds, None, True)
+        return _grad_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def flownets_fwdbwd_fn(b, cp):
+        """The two flow NETS alone (no warps), train mode fwd+bwd."""
+        def m(g, lb):
+            f1, m1 = g.flow_network_ref(lb, b["ref_labels"][:, 0].astype(
+                jnp.bfloat16), b["ref_images"][:, 0].astype(jnp.bfloat16),
+                True)
+            net2 = (g.flow_network_ref if cfg.flow_temp_is_shared
+                    else g.flow_network_temp)
+            f2, m2 = net2(lb, cp["prevs"]["label"], cp["prevs"]["fake"], True)
+            return [f1, m1, f2, m2]
+        return _grad_m(cp, m, b["tgt_label"].astype(jnp.bfloat16))
+
+    def warp_fwdbwd_fn(b, cp):
+        """The two training-path warps alone, fwd + bwd wrt image AND flow
+        (the backward's scatter-add is the suspected hotspot)."""
+        from fsvid2vid_tpu.ops.warp import flow_warp
+        img1 = b["ref_images"][:, 0].astype(jnp.bfloat16)
+        img2 = cp["prevs"]["fake"][..., -3:]
+        f_base = (b["tgt_label"][..., :2] * 8.0).astype(jnp.bfloat16)
+        def f(args):
+            i1, i2, fl = args
+            w1 = flow_warp(i1, fl)
+            w2 = flow_warp(i2, fl * -0.7)
+            return (jnp.sum(w1.astype(jnp.float32))
+                    + jnp.sum(w2.astype(jnp.float32)))
+        return jax.grad(f)((img1, img2, f_base))
+
+    def facegf_fwdbwd_fn(b, cp):
+        """Face refiner (netGf on face crops) fwd+bwd — pose runs it inside
+        every generation (cfg.refine_face)."""
+        if models.netGf is None:
+            return jnp.float32(0)
+        st = cp["state"]
+        from fsvid2vid_tpu.parallel.precision import cast_floating
+        from fsvid2vid_tpu.models.face_refiner import refine_face_region
+        from fsvid2vid_tpu.models.input_process import use_valid_labels
+        lb = b["tgt_label"].astype(jnp.bfloat16)
+        lbv = use_valid_labels(cfg, lb)
+        coarse = b["tgt_image"].astype(jnp.bfloat16)
+        ref_l = b["ref_labels"][:, 0].astype(jnp.bfloat16)
+        ref_i = b["ref_images"][:, 0].astype(jnp.bfloat16)
+        ref_lv = use_valid_labels(cfg, ref_l)
+        def f(pg):
+            pgc = cast_floating(pg, jnp.bfloat16)
+            def netGf_apply(lbl_f, ref_l_f, ref_i_f, crs):
+                y, _ = models.netGf.apply(
+                    {"params": pgc["Gf"], **st.aux_G["Gf"]},
+                    lbl_f, ref_l_f, ref_i_f, crs, train=True,
+                    mutable=["spectral", "batch_stats"],
+                    method=models.netGf.forward_face)
+                return y
+            out = refine_face_region(cfg, netGf_apply, lbv, coarse, lb,
+                                     ref_lv, ref_i, ref_l)
+            return jnp.sum(out.astype(jnp.float32))
+        return jax.grad(f)(st.params_G)
+
+    def opt_only_fn(b, cp):
+        st = cp["state"]
+        uG, _ = opt_G_tx.update(cp["zg_G"], st.opt_G, st.params_G)
+        uD, _ = opt_D_tx.update(cp["zg_D"], st.opt_D, st.params_D)
+        return (optax.apply_updates(st.params_G, uG),
+                optax.apply_updates(st.params_D, uD))
 
     # ---- scan harness (profile_frame.py pattern) ----
     def make_scan(fn):
-        def body(c, b):
-            out = fn(b)
+        def body(c, b_cp):
+            b, cp = b_cp
+            out = fn(b, cp)
             leaves = [jnp.sum(x.astype(jnp.float32))
                       for x in jax.tree.leaves(out)]
             return c + sum(leaves), None
         @jax.jit
-        def run(batches):
-            c, _ = jax.lax.scan(body, jnp.float32(0), batches)
+        def run_(batches, cp):
+            c, _ = jax.lax.scan(
+                lambda c, b: body(c, (b, cp)), jnp.float32(0), batches)
             return c
+        def run(batches):
+            return run_(batches, CAPS)
+        run.lower = lambda batches: run_.lower(batches, CAPS)
         return run
 
     def timed(run, s):
@@ -217,7 +399,7 @@ def main():
         float(run(s))
         return time.perf_counter() - t0
 
-    over = make_scan(lambda b: jnp.float32(0))
+    over = make_scan(lambda b, cp: jnp.float32(0))
     float(over(sets[0]))
     overhead = min(timed(over, s) for s in sets[1:])
     print(f"[dispatch overhead: {overhead*1000:.1f} ms]", file=sys.stderr,
@@ -236,6 +418,16 @@ def main():
         "vgg_fwdbwd": ("VGG branch fwd+bwd", vgg_fwdbwd_fn),
         "flow_fwdbwd": ("flow_generation fwd+bwd", flow_fwdbwd_fn),
         "opt_only": ("Adam updates alone", opt_only_fn),
+        "wgen_fwd": ("weight_generation fwd (train)", wgen_fwd_fn),
+        "wgen_fwdbwd": ("weight_generation fwd+bwd", wgen_fwdbwd_fn),
+        "mainchain_fwd": ("wgen+embed+main fwd (train)", mainchain_fwd_fn),
+        "scembed_fwd": ("SC embedder fwd (train)", scembed_fwd_fn),
+        "labelembed_fwd": ("label embed fwd (train)", labelembed_fwd_fn),
+        "mainchain_fwdbwd": ("wgen+embed+main fwd+bwd", mainchain_fwdbwd_fn),
+        "scembed_fwdbwd": ("SC embedder fwd+bwd", scembed_fwdbwd_fn),
+        "flownets_fwdbwd": ("flow nets only fwd+bwd", flownets_fwdbwd_fn),
+        "warp_fwdbwd": ("2-warp only fwd+bwd", warp_fwdbwd_fn),
+        "facegf_fwdbwd": ("face refiner fwd+bwd", facegf_fwdbwd_fn),
     }
     for key, (name, fn) in stages.items():
         if STAGES is not None and key not in STAGES:

@@ -143,3 +143,81 @@ class TestFlowGeneratorSpd:
                              mutable=False)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-4)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+
+    def test_train_path_matches_plain(self, rng):
+        """cfg.spd_train (round 5): TRAIN-mode STD must reproduce the plain
+        path's forward, batch-stats updates, spectral u/v advance, AND
+        parameter gradients — the layout change is exact math, so the whole
+        training trajectory is unchanged."""
+        cfg = face_config(nff=8, n_blocks_F=2, is_train=True)
+        std = FlowGenerator(cfg, 2)                      # spd_train=True
+        plain = FlowGenerator(cfg.replace(spd_train=False,
+                                          spd_inference=False), 2)
+        H = W = 64
+        label = jnp.asarray(rng.randn(2, H, W, 1).astype(np.float32))
+        pl_ = jnp.asarray(rng.randn(2, H, W, 1).astype(np.float32))
+        pi = jnp.asarray(np.tanh(rng.randn(2, H, W, 3)).astype(np.float32))
+        variables = plain.init(jax.random.PRNGKey(0), label, pl_, pi,
+                               train=True)
+
+        def loss_and_mut(net, params):
+            def f(p):
+                (fl, mk), mut = net.apply(
+                    {**variables, "params": p}, label, pl_, pi, train=True,
+                    mutable=["batch_stats", "spectral"])
+                return jnp.sum(fl ** 2) + jnp.sum(mk ** 2), mut
+            (val, mut), grads = jax.value_and_grad(f, has_aux=True)(params)
+            return val, mut, grads
+
+        v1, mut1, g1 = loss_and_mut(std, variables["params"])
+        v2, mut2, g2 = loss_and_mut(plain, variables["params"])
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(mut1),
+                jax.tree_util.tree_leaves_with_path(mut2)):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=str(p1))
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g1),
+                jax.tree_util.tree_leaves_with_path(g2)):
+            assert p1 == p2
+            a, b = np.asarray(a), np.asarray(b)
+            # reassociation noise is absolute at the tensor's magnitude scale
+            # (conv-backward sums ~8k products per entry), so near-zero
+            # entries need a norm-scaled atol, not a relative bound
+            tol = max(1e-3, 1e-5 * float(np.abs(b).max()))
+            np.testing.assert_allclose(a, b, atol=tol, rtol=2e-2,
+                                       err_msg=str(p1))
+
+
+class TestEmbedderSpdTrain:
+    def test_train_path_matches_plain(self, rng):
+        """spd_train for the norm-free SC embedder: forward and parameter
+        gradients equal the plain path (no norms, no spectral — pure
+        scattered-kernel convs)."""
+        from fsvid2vid_tpu.models.embedder import LabelEmbedder
+        std = LabelEmbedder(arch="encoderdecoder", nf=8, n_downsample=3,
+                            spd_inference=True, spd_train=True)
+        plain = LabelEmbedder(arch="encoderdecoder", nf=8, n_downsample=3)
+        x = jnp.asarray(rng.randn(2, 32, 32, 4).astype(np.float32))
+        variables = plain.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss_grads(net):
+            def f(p):
+                out = net.apply({"params": p}, x, train=True)
+                return sum(jnp.sum(o ** 2) for o in out)
+            return jax.value_and_grad(f)(variables["params"])
+
+        v1, g1 = loss_grads(std)
+        v2, g2 = loss_grads(plain)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g1),
+                jax.tree_util.tree_leaves_with_path(g2)):
+            assert p1 == p2
+            a, b = np.asarray(a), np.asarray(b)
+            tol = max(1e-4, 1e-5 * float(np.abs(b).max()))
+            np.testing.assert_allclose(a, b, atol=tol, rtol=2e-2,
+                                       err_msg=str(p1))
