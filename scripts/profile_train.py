@@ -376,6 +376,31 @@ def main():
         return (optax.apply_updates(st.params_G, uG),
                 optax.apply_updates(st.params_D, uD))
 
+    def full_carried_fn(b, cp):
+        # placeholder; replaced by a carried-scan runner below (state+prevs
+        # threaded through the scan like the real trainer / train_bench.py —
+        # isolates the cost of the carried multi-GB train state vs the
+        # fixed-state `full` stage)
+        return jnp.float32(0)
+
+    def make_carried_run():
+        def body(carry, b):
+            st, pv = carry
+            st2, pv2, losses, _vis = train_step(cfg, models, st, wrap(b), pv,
+                                                flags, jax.random.PRNGKey(0))
+            pv2 = {k: v.astype(pv[k].dtype) for k, v in pv2.items()}
+            return (st2, pv2), losses["G_total"]
+        @jax.jit
+        def run_(st, pv, batches):
+            (st, pv), tot = jax.lax.scan(body, (st, pv), batches)
+            return st.step, jnp.sum(tot)
+        def run(batches):
+            s, tot = run_(CAPS["state"], CAPS["prevs"], batches)
+            return float(tot) * 0 + float(s)
+        run.lower = lambda batches: run_.lower(CAPS["state"], CAPS["prevs"],
+                                               batches)
+        return run
+
     # ---- scan harness (profile_frame.py pattern) ----
     def make_scan(fn):
         def body(c, b_cp):
@@ -410,6 +435,7 @@ def main():
 
     stages = {
         "full": ("full train_step (D+G+opt)", full_fn),
+        "full_carried": ("full step, carried state scan", full_carried_fn),
         "gen_fwd": ("generation fwd (train)", gen_fwd_fn),
         "gen_fwdbwd": ("generation fwd+bwd", gen_fwdbwd_fn),
         "d_phase": ("D losses fwd+bwd+Adam", d_phase_fn),
@@ -432,7 +458,7 @@ def main():
     for key, (name, fn) in stages.items():
         if STAGES is not None and key not in STAGES:
             continue
-        run = make_scan(fn)
+        run = make_carried_run() if key == "full_carried" else make_scan(fn)
         t0 = time.perf_counter()
         try:
             float(run(sets[0]))
