@@ -615,11 +615,12 @@ class FewShotGenerator(nn.Module):
         (generator.py:448-454)."""
         if not self.cfg.spade_combine:
             return encoded_label
-        if (not train and self.cfg.prev_embedding_is_shared
+        if (self.cfg.prev_embedding_is_shared
                 and ds_ref[0] is not None and ds_ref[1] is not None):
-            # Shared embedder at eval: run the ref and prev pyramids as one
-            # 2B-batch call (eval norms use running stats, so identical to
-            # two calls — same trick as the batched flow nets above)
+            # Shared embedder: run the ref and prev pyramids as one 2B-batch
+            # call.  Exact in BOTH modes — the embedder is norm-free plain
+            # convs (embedder.py), so conv(concat(a,b)) == concat(conv(a),
+            # conv(b)) for forward and parameter gradients alike.
             b = ds_ref[0].shape[0]
             both = self.img_ref_embedding(
                 jnp.concatenate([ds_ref[0], ds_ref[1]], axis=0), None, train)
@@ -650,11 +651,15 @@ class FewShotGenerator(nn.Module):
     # ------------------------------------------------------------------
     def _std_levels(self, encoded_label, train) -> int:
         """Number of finest up-block levels to run in space-to-depth layout
-        at eval (0 = disabled).  The two finest levels are the small-channel
-        full-res stages whose NHWC tensors waste most of the 128-wide vector
-        lanes (ops/spd.py); the STD math is exact."""
+        (0 = disabled).  The two finest levels are the small-channel full-res
+        stages whose NHWC tensors waste most of the 128-wide vector lanes
+        (ops/spd.py); the STD math is exact.  Train mode rides cfg.spd_train
+        (round 5): SyncBatchNorm reduces batch stats over the phase dim and
+        SNConv spectral-normalizes the pre-scatter kernel, so forward, stat
+        updates, and gradients match the plain layout (tests/test_spd.py)."""
         cfg = self.cfg
-        if (train or not cfg.spd_inference or self.nd < 2
+        if ((train and not cfg.spd_train) or not cfg.spd_inference
+                or self.nd < 2
                 or cfg.spade_ks != 1 or cfg.conv_ks != 3 or self.adap_conv
                 or "batch" not in cfg.norm_G):
             return 0

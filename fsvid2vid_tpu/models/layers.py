@@ -64,7 +64,8 @@ class SNConv(nn.Module):
         ('s1'|'s2'|'s2_exit'|'s1_up') — x is then in space-to-depth layout
         ('s1_up': the pre-upsample normal-layout tensor) and the stored
         (k,k,cin,cout) kernel is scattered into its STD equivalent
-        (ops/spd.py; inference-only TPU lane-packing optimization)."""
+        (ops/spd.py TPU lane packing; spectral norm applies to the ORIGINAL
+        kernel before the scatter, so train mode is exact too)."""
         k = self.kernel_size
         cin = x.shape[-1] // (4 if spd and spd != "s1_up" else 1)
         kernel = self.param("kernel", self.kernel_init, (k, k, cin, self.features))
@@ -282,10 +283,11 @@ class Spade(nn.Module):
     @nn.compact
     def __call__(self, x, maps, weights=None, train: bool = False,
                  spd: bool = False):
-        """spd: x and every map are in space-to-depth layout (eval only;
-        requires ks == 1 and a batch-type inner norm).  The 1x1 gamma/beta
-        convs lift to block-diagonal STD kernels (ops/spd.py) with the
-        gamma/beta halves kept contiguous, so the math is identical."""
+        """spd: x and every map are in space-to-depth layout (requires
+        ks == 1 and a batch-type inner norm; train-mode stats reduce over
+        the phase dim).  The 1x1 gamma/beta convs lift to block-diagonal STD
+        kernels (ops/spd.py) with the gamma/beta halves kept contiguous, so
+        the math is identical."""
         if not isinstance(maps, (list, tuple)):
             maps = [maps]
         if spd:
@@ -378,10 +380,12 @@ class SpadeResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, label=None, conv_weights=None, norm_weights=None,
                  train: bool = False, spd: bool = False):
-        """spd: run in space-to-depth layout (eval only) — x and every
-        modulation map phase-packed, k3 convs via scattered STD kernels and
-        1x1 convs via block-diagonal ones (exact math, ops/spd.py).  Requires
-        stride 1, conv_ks 3, owned conv params, and batch-type norms."""
+        """spd: run in space-to-depth layout — x and every modulation map
+        phase-packed, k3 convs via scattered STD kernels and 1x1 convs via
+        block-diagonal ones (exact math, ops/spd.py).  Requires stride 1,
+        conv_ks 3, owned conv params, and batch-type norms.  Train mode is
+        exact too: SyncBatchNorm(spd=True) reduces stats over the phase dim
+        and SNConv spectral-normalizes the original kernel pre-scatter."""
         fhidden = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
         use_spade = "spade" in self.norm
@@ -390,7 +394,7 @@ class SpadeResnetBlock(nn.Module):
         nw = norm_weights if norm_weights is not None else [None] * 3
         if spd:
             assert (self.stride == 1 and self.conv_ks == 3
-                    and not self.conv_params_free and not train)
+                    and not self.conv_params_free)
 
         def make_norm(features, name):
             if use_spade:

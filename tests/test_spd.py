@@ -192,6 +192,69 @@ class TestFlowGeneratorSpd:
                                        err_msg=str(p1))
 
 
+class TestGeneratorSpdTrain:
+    """Round-5 main-branch STD in TRAIN mode (cfg.spd_train): the two finest
+    SPADE up blocks + conv_img run phase-packed during training — forward,
+    batch-stat/spectral updates, and parameter gradients must all match the
+    plain layout (pure layout change, exact math)."""
+
+    @pytest.mark.slow
+    def test_train_path_matches_plain(self):
+        from fsvid2vid_tpu.models.generator import FewShotGenerator
+        rng = np.random.RandomState(3)
+        cfg = face_config(ngf=4, nff=4, ndf=4, fine_size=64, load_size=64,
+                          n_blocks_F=2, batch_size=2, is_train=True,
+                          add_raw_output_loss=True)
+        h, w, cl = cfg.height, cfg.width, cfg.gen_input_nc
+        b = 2
+        std = FewShotGenerator(cfg)                      # spd_train=True
+        plain = FewShotGenerator(cfg.replace(spd_train=False,
+                                             spd_inference=False))
+        label = jnp.asarray(rng.randn(b, h, w, cl).astype(np.float32))
+        label_refs = jnp.asarray(
+            rng.randn(b, 1, h, w, cl).astype(np.float32))
+        img_refs = jnp.asarray(
+            np.tanh(rng.randn(b, 1, h, w, 3)).astype(np.float32))
+        prev_l = jnp.asarray(
+            rng.randn(b, h, w, cl * (cfg.n_frames_G - 1)).astype(np.float32))
+        prev_i = jnp.asarray(np.tanh(
+            rng.randn(b, h, w, 3 * (cfg.n_frames_G - 1))).astype(np.float32))
+        variables = plain.init(jax.random.PRNGKey(0), label, label_refs,
+                               img_refs, prev_l, prev_i, warp_prev=True,
+                               train=True)
+
+        def loss_and_mut(net, params):
+            def f(p):
+                out, mut = net.apply(
+                    {**variables, "params": p}, label, label_refs, img_refs,
+                    prev_l, prev_i, warp_prev=True, train=True,
+                    mutable=["batch_stats", "spectral"])
+                loss = sum(jnp.sum(out[k] ** 2)
+                           for k in ("img_final", "img_raw")
+                           if out[k] is not None)
+                return loss, mut
+            (val, mut), grads = jax.value_and_grad(f, has_aux=True)(params)
+            return val, mut, grads
+
+        v1, mut1, g1 = loss_and_mut(std, variables["params"])
+        v2, mut2, g2 = loss_and_mut(plain, variables["params"])
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for (p1, a), (p2, b_) in zip(
+                jax.tree_util.tree_leaves_with_path(mut1),
+                jax.tree_util.tree_leaves_with_path(mut2)):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-5, rtol=1e-4, err_msg=str(p1))
+        for (p1, a), (p2, b_) in zip(
+                jax.tree_util.tree_leaves_with_path(g1),
+                jax.tree_util.tree_leaves_with_path(g2)):
+            assert p1 == p2
+            a, b_ = np.asarray(a), np.asarray(b_)
+            tol = max(1e-3, 1e-5 * float(np.abs(b_).max()))
+            np.testing.assert_allclose(a, b_, atol=tol, rtol=2e-2,
+                                       err_msg=str(p1))
+
+
 class TestEmbedderSpdTrain:
     def test_train_path_matches_plain(self, rng):
         """spd_train for the norm-free SC embedder: forward and parameter
